@@ -1,0 +1,95 @@
+"""Service configuration.
+
+Keeps the reference's env-var contract (reference: rag_service/config.py:5-20) —
+same variable names and defaults — so existing deployment manifests and the
+autoscaler work unchanged, while adding TPU-specific knobs (mesh shape, shape
+buckets, dtype) that have no reference equivalent.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+def _env(name: str, default: str) -> str:
+    return os.environ.get(name, default)
+
+
+def _parse_int_list(s: str) -> List[int]:
+    return [int(x) for x in s.split(",") if x.strip()]
+
+
+@dataclass
+class Settings:
+    """Env-driven settings (reads a `.env` file if present, like pydantic-settings)."""
+
+    host: str = field(default_factory=lambda: _env("HOST", "0.0.0.0"))
+    port: int = field(default_factory=lambda: int(_env("PORT", "8000")))
+
+    # Batching (reference: rag_service/config.py:8-10)
+    max_batch_size: int = field(default_factory=lambda: int(_env("MAX_BATCH_SIZE", "32")))
+    max_wait_time: float = field(default_factory=lambda: float(_env("MAX_WAIT_TIME", "1.00")))
+    polling_interval: float = field(default_factory=lambda: float(_env("POLLING_INTERVAL", "0.3")))
+
+    # Data artifacts (reference: rag_service/config.py:11-13)
+    document_text_file: str = field(
+        default_factory=lambda: _env("DOCUMENT_TEXT_FILE", "data/short_facts_contexts.json"))
+    document_embeddings_file: str = field(
+        default_factory=lambda: _env("DOCUMENT_EMBEDDINGS_FILE", "data/short_facts_embeddings.npy"))
+    document_queries_file: str = field(
+        default_factory=lambda: _env("DOCUMENT_QUERIES_FILE", "data/short_facts_queries.json"))
+
+    # Models (reference: rag_service/config.py:14-15)
+    embed_model_name: str = field(
+        default_factory=lambda: _env("EMBED_MODEL_NAME", "intfloat/multilingual-e5-large-instruct"))
+    llm_model_name: str = field(
+        default_factory=lambda: _env("LLM_MODEL_NAME", "Qwen/Qwen2.5-1.5B-Instruct"))
+
+    # Queue backend: Redis iff REDIS_URL set (reference: main.py:35-49)
+    redis_url: Optional[str] = field(default_factory=lambda: os.environ.get("REDIS_URL"))
+
+    # ---- TPU-native knobs (new; no reference equivalent) ----
+    # 'tpu' | 'cpu' | '' (auto: whatever jax.devices() gives)
+    platform: str = field(default_factory=lambda: _env("JAX_SERVE_PLATFORM", ""))
+    # compute dtype for model forward passes
+    dtype: str = field(default_factory=lambda: _env("COMPUTE_DTYPE", "bfloat16"))
+    # batch-size buckets the engine compiles for (padded fixed shapes for XLA)
+    batch_buckets: List[int] = field(
+        default_factory=lambda: _parse_int_list(_env("BATCH_BUCKETS", "1,2,4,8,16,32")))
+    # encoder sequence-length buckets
+    encode_len_buckets: List[int] = field(
+        default_factory=lambda: _parse_int_list(_env("ENCODE_LEN_BUCKETS", "32,64,128,256,512")))
+    # generator prompt-length buckets
+    prompt_len_buckets: List[int] = field(
+        default_factory=lambda: _parse_int_list(_env("PROMPT_LEN_BUCKETS", "128,256,512,1024")))
+    max_new_tokens: int = field(default_factory=lambda: int(_env("MAX_NEW_TOKENS", "10")))
+    # retrieval: fixed compiled k (per-request k <= max_k sliced on host,
+    # mirroring the reference's fixed-max_k trick, reference retriever.py:744-769)
+    max_k: int = field(default_factory=lambda: int(_env("MAX_K", "16")))
+    # mesh: "dp,tp" sizes; empty = single flat data axis over all devices
+    mesh_shape: str = field(default_factory=lambda: _env("MESH_SHAPE", ""))
+    # load real HF weights if a local snapshot exists; else deterministic random init
+    weights_dir: Optional[str] = field(default_factory=lambda: os.environ.get("WEIGHTS_DIR"))
+    # model size preset for offline/random-init mode: 'full' | 'tiny'
+    model_preset: str = field(default_factory=lambda: _env("MODEL_PRESET", "full"))
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader (KEY=VALUE lines; does not override existing env)."""
+    if not os.path.exists(path):
+        return
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#") or "=" not in line:
+                continue
+            key, _, value = line.partition("=")
+            key, value = key.strip(), value.strip().strip('"').strip("'")
+            os.environ.setdefault(key, value)
+
+
+def get_settings() -> Settings:
+    load_dotenv()
+    return Settings()

@@ -1,0 +1,197 @@
+"""Request queues: in-memory and Redis backends.
+
+Keeps the reference's duck-typed queue contract byte-for-byte
+(reference: rag_service/core/request_queue.py):
+
+- `add_request(query, k) -> request_id`
+- `get_batch() -> list[{"id", "query", "k", ("timestamp")}]`
+  (size-bounded by max_batch_size; time-bounded by max_wait_time once
+   at least one item is held)
+- `store_result(request_id, result)`
+- `get_result(request_id, timeout) -> result | None` (consume-once)
+
+Redis wire contract preserved exactly — list key `rag_service:requests` with
+JSON `{id, query, k, timestamp}` items and results at
+`rag_service:result:<id>` with 3600 s TTL (request_queue.py:25-36,63-66) —
+so the reference's Kubernetes autoscaler policy (which reads these keys)
+works against this service unchanged.
+
+Improvements over the reference:
+- in-memory results signal via per-request `threading.Event` instead of a
+  polling loop, so `get_result` wakes immediately (the reference sleeps
+  `polling_interval` between checks, request_queue.py:125-134);
+- in-memory items also carry `timestamp` so /metrics can report queue wait
+  for both backends.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import threading
+import time
+import uuid
+from typing import Any, Optional
+
+
+class RequestQueue:
+    """Thread-safe in-memory FIFO + result store (single-replica mode)."""
+
+    def __init__(self, max_batch_size: int = 32, max_wait_time: float = 1.0,
+                 polling_interval: float = 0.1):
+        self.queue: "queue.Queue[dict]" = queue.Queue()
+        self.max_batch_size = max_batch_size
+        self.max_wait_time = max_wait_time
+        self.polling_interval = polling_interval
+        self._lock = threading.Lock()
+        self._results: dict[str, Any] = {}
+        self._events: dict[str, threading.Event] = {}
+
+    def add_request(self, query: str, k: int = 2) -> str:
+        request_id = str(uuid.uuid4())
+        self.queue.put({"id": request_id, "query": query, "k": k,
+                        "timestamp": time.time()})
+        return request_id
+
+    def get_batch(self) -> list:
+        """Blocks up to max_wait_time once an item is held; returns as soon as
+        the batch is full. Empty list if nothing arrived."""
+        batch: list[dict] = []
+        start = time.time()
+        while len(batch) < self.max_batch_size:
+            elapsed = time.time() - start
+            if elapsed >= self.max_wait_time and batch:
+                break
+            try:
+                item = self.queue.get(timeout=max(0.05, self.max_wait_time - elapsed))
+                batch.append(item)
+                self.queue.task_done()
+            except queue.Empty:
+                break
+        return batch
+
+    def store_result(self, request_id: str, result: Any) -> None:
+        with self._lock:
+            self._results[request_id] = result
+            ev = self._events.pop(request_id, None)
+        if ev is not None:
+            ev.set()
+
+    def get_result(self, request_id: str, timeout: float = 30) -> Optional[Any]:
+        with self._lock:
+            if request_id in self._results:
+                return self._results.pop(request_id)
+            ev = self._events.setdefault(request_id, threading.Event())
+        if not ev.wait(timeout):
+            with self._lock:
+                # avoid leaking events for requests nobody will answer
+                if self._events.get(request_id) is ev and request_id not in self._results:
+                    self._events.pop(request_id, None)
+                return self._results.pop(request_id, None)
+        with self._lock:
+            return self._results.pop(request_id, None)
+
+    # introspection used by /metrics
+    def queue_size(self) -> int:
+        return self.queue.qsize()
+
+    def oldest_wait_time(self) -> float:
+        return 0.0  # queue.Queue has no peek; in-memory mode reports 0 like the reference
+
+
+class RedisRequestQueue:
+    """Redis-backed distributed queue (multi-replica mode).
+
+    Same keys/payloads as the reference so its autoscaler works unchanged.
+    """
+
+    QUEUE_KEY = "rag_service:requests"
+    RESULT_PREFIX = "rag_service:result:"
+    RESULT_TTL_S = 3600
+
+    def __init__(self, redis_url: str = "redis://localhost:6379/0",
+                 max_batch_size: int = 32, max_wait_time: float = 1.0,
+                 polling_interval: float = 0.1, client=None):
+        if client is not None:
+            self.redis = client  # injection point for fakeredis in tests
+        else:
+            import redis
+            self.redis = redis.from_url(redis_url)
+        self.max_batch_size = max_batch_size
+        self.max_wait_time = max_wait_time
+        self.polling_interval = polling_interval
+        self.queue_key = self.QUEUE_KEY
+        self.results_key_prefix = self.RESULT_PREFIX
+
+    def add_request(self, query: str, k: int = 2) -> str:
+        request_id = str(uuid.uuid4())
+        self.redis.rpush(self.queue_key, json.dumps({
+            "id": request_id, "query": query, "k": k, "timestamp": time.time(),
+        }))
+        return request_id
+
+    def get_batch(self) -> list:
+        batch: list[dict] = []
+        start = time.time()
+        while len(batch) < self.max_batch_size:
+            if time.time() - start >= self.max_wait_time and batch:
+                break
+            # grab everything already queued in one round trip (the reference
+            # BLPOPs one item per round trip, request_queue.py:49)
+            want = self.max_batch_size - len(batch)
+            pipe = self.redis.pipeline()
+            for _ in range(want):
+                pipe.lpop(self.queue_key)
+            got = [g for g in pipe.execute() if g]
+            batch.extend(json.loads(g) for g in got)
+            if len(batch) >= self.max_batch_size:
+                break
+            if not got:
+                if batch:
+                    break
+                item = self.redis.blpop(self.queue_key, timeout=0.1)
+                if item:
+                    batch.append(json.loads(item[1]))
+                elif time.time() - start >= self.max_wait_time:
+                    break
+        return batch
+
+    def store_result(self, request_id: str, result: Any) -> None:
+        self.redis.setex(self.results_key_prefix + request_id,
+                         self.RESULT_TTL_S, json.dumps(result))
+
+    def get_result(self, request_id: str, timeout: float = 30) -> Optional[Any]:
+        key = self.results_key_prefix + request_id
+        start = time.time()
+        while True:
+            raw = self.redis.get(key)
+            if raw:
+                self.redis.delete(key)
+                return json.loads(raw)
+            if time.time() - start >= timeout:
+                return None
+            time.sleep(self.polling_interval)
+
+    def queue_size(self) -> int:
+        return int(self.redis.llen(self.queue_key))
+
+    def oldest_wait_time(self) -> float:
+        oldest = self.redis.lindex(self.queue_key, 0)
+        if not oldest:
+            return 0.0
+        try:
+            data = json.loads(oldest)
+            ts = data.get("timestamp")
+            return max(0.0, time.time() - ts) if ts else 0.0
+        except Exception:
+            return 0.0
+
+
+def make_queue(settings) -> "RequestQueue | RedisRequestQueue":
+    """Backend selection: Redis iff REDIS_URL is set (reference: main.py:35-49)."""
+    kwargs = dict(max_batch_size=settings.max_batch_size,
+                  max_wait_time=settings.max_wait_time,
+                  polling_interval=min(settings.polling_interval, 0.1))
+    if settings.redis_url:
+        return RedisRequestQueue(settings.redis_url, **kwargs)
+    return RequestQueue(**kwargs)

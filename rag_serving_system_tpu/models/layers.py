@@ -1,0 +1,112 @@
+"""Shared neural-net building blocks (pure jnp, MXU-friendly).
+
+All matmuls specify `preferred_element_type` so XLA accumulates in f32 even
+with bf16 operands; shapes are kept static so every forward jit-compiles to a
+single fused XLA program per shape bucket.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9  # additive attention-mask value (f32-safe, avoids NaN in softmax)
+
+
+def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
+    """x: (..., in) @ w: (in, out) [+ b]."""
+    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def layer_norm(x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), axis=-1, keepdims=True)
+    y = (xf - mu) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32)).astype(x.dtype)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    # erf-based (exact) GELU, matching BERT-family 'gelu'
+    return jax.nn.gelu(x, approximate=False)
+
+
+def silu(x: jax.Array) -> jax.Array:
+    return jax.nn.silu(x)
+
+
+# ---------------------------------------------------------------------------
+# Rotary position embeddings (Qwen2/Llama "half-rotation" layout)
+# ---------------------------------------------------------------------------
+
+def rope_freqs(head_dim: int, theta: float) -> jax.Array:
+    """(head_dim/2,) inverse frequencies."""
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, inv_freq: jax.Array) -> jax.Array:
+    """x: (B, S, H, D), positions: (B, S) int32 → rotated x (same dtype).
+
+    Uses the HF 'rotate_half' convention: x split as [x1, x2] halves,
+    out = x*cos + rotate_half(x)*sin with angles tiled over both halves.
+    """
+    angles = positions.astype(jnp.float32)[..., None] * inv_freq  # (B, S, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]  # (B, S, 1, D/2)
+    sin = jnp.sin(angles)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    d2 = x.shape[-1] // 2
+    x1, x2 = xf[..., :d2], xf[..., d2:]
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+def attention(
+    q: jax.Array,          # (B, S, Hq, D)
+    k: jax.Array,          # (B, T, Hk, D)
+    v: jax.Array,          # (B, T, Hk, D)
+    bias: jax.Array,       # (B, 1, S, T) additive f32 mask (0 / NEG_INF)
+) -> jax.Array:
+    """Grouped-query scaled dot-product attention. Hq must be a multiple of Hk.
+
+    XLA fuses this chain well on TPU; a Pallas flash-attention path can slot in
+    behind the same signature (see ops/attention.py).
+    """
+    b, s, hq, d = q.shape
+    t, hk = k.shape[1], k.shape[2]
+    group = hq // hk
+    qf = q.reshape(b, s, hk, group, d)
+    scores = jnp.einsum("bshgd,bthd->bhgst", qf, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores * (1.0 / jnp.sqrt(jnp.float32(d)))
+    scores = scores + bias[:, :, None, :, :]
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhgst,bthd->bshgd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, s, hq, d).astype(q.dtype)
+
+
+def padding_bias(mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """(B, T) {0,1} → (B, 1, 1, T) additive bias."""
+    return jnp.where(mask[:, None, None, :] > 0, 0.0, NEG_INF).astype(dtype)
+
+
+def causal_padding_bias(mask: jax.Array) -> jax.Array:
+    """(B, S) {0,1} → (B, 1, S, S) causal + padding additive bias."""
+    s = mask.shape[-1]
+    causal = jnp.tril(jnp.ones((s, s), dtype=bool))
+    allowed = causal[None, :, :] & (mask[:, None, :] > 0)
+    return jnp.where(allowed, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)

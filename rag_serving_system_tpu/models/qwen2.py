@@ -1,0 +1,233 @@
+"""Qwen2-family causal decoder (Qwen2.5-1.5B-Instruct) as pure-JAX functions.
+
+Replaces the reference's HF text-generation pipeline stage
+(reference: rag_service/core/batch_processor.py:104-105: left-padded batch,
+`max_new_tokens=10, do_sample=True`). TPU-first design choices:
+
+- Prefill is one full-attention forward over the (left-padded) prompt bucket;
+  decode is a `lax.scan` of single-token steps against a static-shape KV cache
+  — the whole generate() is ONE compiled XLA program per (batch, prompt-len)
+  bucket; no per-token Python dispatch like the reference's HF pipeline.
+- GQA (12 query heads / 2 KV heads) is computed grouped — KV heads are never
+  materialized repeated.
+- Left padding means real tokens are right-aligned, so generated tokens are
+  contiguous after the prompt: cache writes are static-offset dynamic slices.
+
+Params pytree layout (dense weights stored (in, out)):
+  {"embed": (V, H),
+   "layers": [{"ln1", "q_w","q_b","k_w","k_b","v_w","v_b","o_w",
+               "ln2", "gate_w","up_w","down_w"}...],
+   "ln_f": (H,), "lm_head": (H, V) — omitted when tied (lm_head = embed.T)}
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from rag_serving_system_tpu.models.configs import DecoderConfig
+from rag_serving_system_tpu.models.layers import (
+    NEG_INF,
+    apply_rope,
+    attention,
+    causal_padding_bias,
+    dense,
+    rms_norm,
+    rope_freqs,
+    silu,
+)
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # (num_layers, B, T_max, Hk, D)
+    v: jax.Array  # (num_layers, B, T_max, Hk, D)
+
+
+def _qkv(params, cfg, x, b, s):
+    q = dense(x, params["q_w"], params["q_b"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = dense(x, params["k_w"], params["k_b"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = dense(x, params["v_w"], params["v_b"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _mlp(params, x):
+    return dense(silu(dense(x, params["gate_w"])) * dense(x, params["up_w"]),
+                 params["down_w"])
+
+
+def logits_from_hidden(params: dict, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
+    x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
+    head = params.get("lm_head")
+    if head is None:
+        head = params["embed"].T
+    return jnp.einsum("...h,hv->...v", x, head.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+
+
+def prefill(
+    params: dict,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,       # (B, P) int32, LEFT-padded
+    attention_mask: jax.Array,  # (B, P) int32
+    max_new_tokens: int,
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, KVCache]:
+    """Full forward over the prompt. Returns (last-position logits (B, V) f32,
+    KV cache sized P + max_new_tokens)."""
+    b, p = input_ids.shape
+    t_max = p + max_new_tokens
+    inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
+    # left-padded → positions count real tokens from the left edge of content
+    positions = jnp.cumsum(attention_mask, axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+
+    x = jnp.take(params["embed"], input_ids, axis=0).astype(dtype)
+    bias = causal_padding_bias(attention_mask)
+
+    ks, vs = [], []
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, cfg, h, b, p)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        a = attention(q, k, v, bias).reshape(b, p, cfg.num_heads * cfg.head_dim)
+        x = x + dense(a, layer["o_w"])
+        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+        pad_t = t_max - p
+        ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+        vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+
+    logits = logits_from_hidden(params, cfg, x[:, -1, :])
+    cache = KVCache(k=jnp.stack(ks), v=jnp.stack(vs))
+    return logits, cache
+
+
+def decode_step(
+    params: dict,
+    cfg: DecoderConfig,
+    cache: KVCache,
+    token: jax.Array,          # (B,) int32
+    step: jax.Array,           # scalar int32: index of generated token (0-based)
+    prompt_len: int,           # static P
+    prompt_mask: jax.Array,    # (B, P) int32
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, KVCache]:
+    """One token for every sequence in the batch. Returns ((B, V) f32 logits,
+    updated cache)."""
+    b = token.shape[0]
+    t_max = cache.k.shape[2]
+    inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
+    n_real = jnp.sum(prompt_mask, axis=-1)          # (B,)
+    positions = (n_real + step)[:, None]            # (B, 1)
+    write_at = prompt_len + step                    # same for all rows (left-pad)
+
+    # attention bias over the cache: prompt pads masked; generated slots
+    # valid iff slot index <= current step
+    slot = jnp.arange(t_max - prompt_len)
+    gen_valid = (slot <= step)[None, :]
+    valid = jnp.concatenate(
+        [prompt_mask > 0, jnp.broadcast_to(gen_valid, (b, t_max - prompt_len))], axis=1)
+    bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
+
+    x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)  # (B, 1, H)
+
+    new_k, new_v = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, cfg, h, b, 1)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        k_cache = jax.lax.dynamic_update_slice(
+            cache.k[li], k.astype(cache.k.dtype), (0, write_at, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(
+            cache.v[li], v.astype(cache.v.dtype), (0, write_at, 0, 0))
+        new_k.append(k_cache)
+        new_v.append(v_cache)
+        a = attention(q, k_cache.astype(dtype), v_cache.astype(dtype), bias)
+        a = a.reshape(b, 1, cfg.num_heads * cfg.head_dim)
+        x = x + dense(a, layer["o_w"])
+        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+
+    logits = logits_from_hidden(params, cfg, x[:, 0, :])
+    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+
+
+def sample_token(
+    logits: jax.Array,   # (B, V) f32
+    rng: jax.Array,
+    temperature: float = 0.7,
+    top_k: int = 20,
+    top_p: float = 0.8,
+) -> jax.Array:
+    """Qwen2.5-Instruct default sampling: temperature + top-k + nucleus."""
+    logits = logits / jnp.float32(max(temperature, 1e-5))
+    # top-k filter
+    kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+    logits = jnp.where(logits < kth, NEG_INF, logits)
+    # nucleus (top-p) filter over the surviving top-k set
+    sorted_logits = jax.lax.top_k(logits, top_k)[0]
+    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    # smallest set with cumulative prob >= top_p: keep while cum - p < p_i
+    keep = cum - probs < top_p
+    cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
+    logits = jnp.where(logits < cutoff, NEG_INF, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
+                     "do_sample", "dtype"),
+)
+def generate(
+    params: dict,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,       # (B, P) int32 LEFT-padded
+    attention_mask: jax.Array,  # (B, P)
+    rng: jax.Array,
+    max_new_tokens: int = 10,
+    temperature: float = 0.7,
+    top_k: int = 20,
+    top_p: float = 0.8,
+    do_sample: bool = True,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Prefill + scan decode. Returns (B, max_new_tokens) int32 generated ids.
+
+    Past-EOS positions are filled with pad_token_id (host strips them when
+    decoding to text); compute proceeds at fixed shape — the XLA way.
+    """
+    b, p = input_ids.shape
+    logits0, cache = prefill(params, cfg, input_ids, attention_mask,
+                             max_new_tokens, dtype=dtype)
+
+    def pick(logits, rng):
+        if do_sample:
+            return sample_token(logits, rng, temperature, top_k, top_p)
+        return jnp.argmax(logits, axis=-1)
+
+    rngs = jax.random.split(rng, max_new_tokens)
+    tok0 = pick(logits0, rngs[0]).astype(jnp.int32)
+    done0 = tok0 == cfg.eos_token_id
+
+    def body(carry, xs):
+        tok, done, cache = carry
+        step, step_rng = xs
+        logits, cache = decode_step(params, cfg, cache, tok, step, p,
+                                    attention_mask, dtype=dtype)
+        nxt = pick(logits, step_rng).astype(jnp.int32)
+        nxt = jnp.where(done, jnp.int32(cfg.pad_token_id), nxt)
+        done = done | (nxt == cfg.eos_token_id)
+        return (nxt, done, cache), nxt
+
+    if max_new_tokens == 1:
+        return tok0[:, None]
+    steps = jnp.arange(max_new_tokens - 1, dtype=jnp.int32)
+    (_, _, _), rest = jax.lax.scan(body, (tok0, done0, cache), (steps, rngs[1:]))
+    return jnp.concatenate([tok0[:, None], rest.T], axis=1)

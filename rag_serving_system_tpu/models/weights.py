@@ -1,0 +1,241 @@
+"""Weight initialization and HF-checkpoint loading.
+
+Two paths:
+1. `load_encoder_params` / `load_decoder_params`: map a local HF safetensors
+   snapshot (XLM-RoBERTa / Qwen2 naming) onto our pytree layout. HF `nn.Linear`
+   stores weights (out, in); we transpose to (in, out) for `x @ W`.
+2. `init_encoder_params` / `init_decoder_params`: deterministic random init at
+   the exact architecture sizes — used offline (no HF hub access) so tests and
+   benchmarks exercise the true compute/memory footprint.
+
+The reference pre-downloads its checkpoints at image build time
+(reference: Dockerfile:15-21); here WEIGHTS_DIR points at such a snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_serving_system_tpu.models.configs import DecoderConfig, EncoderConfig
+
+
+# ---------------------------------------------------------------------------
+# Random init (deterministic, architecture-true)
+# ---------------------------------------------------------------------------
+
+def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
+    return (jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32) * std).astype(dtype)
+
+
+def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 8 + 16 * cfg.num_layers))
+    h, ff = cfg.hidden_size, cfg.intermediate_size
+    params = {
+        "embed": {
+            "word": _trunc_normal(next(keys), (cfg.vocab_size, h), dtype=dtype),
+            "pos": _trunc_normal(next(keys), (cfg.max_position_embeddings, h), dtype=dtype),
+            "type": _trunc_normal(next(keys), (cfg.type_vocab_size, h), dtype=dtype),
+            "ln_scale": jnp.ones((h,), dtype),
+            "ln_bias": jnp.zeros((h,), dtype),
+        },
+        "layers": [],
+    }
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "q_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
+            "q_b": jnp.zeros((h,), dtype),
+            "k_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
+            "k_b": jnp.zeros((h,), dtype),
+            "v_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
+            "v_b": jnp.zeros((h,), dtype),
+            "o_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
+            "o_b": jnp.zeros((h,), dtype),
+            "attn_ln_scale": jnp.ones((h,), dtype),
+            "attn_ln_bias": jnp.zeros((h,), dtype),
+            "ff_w1": _trunc_normal(next(keys), (h, ff), dtype=dtype),
+            "ff_b1": jnp.zeros((ff,), dtype),
+            "ff_w2": _trunc_normal(next(keys), (ff, h), dtype=dtype),
+            "ff_b2": jnp.zeros((h,), dtype),
+            "ff_ln_scale": jnp.ones((h,), dtype),
+            "ff_ln_bias": jnp.zeros((h,), dtype),
+        })
+    return params
+
+
+def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -> dict:
+    key = jax.random.PRNGKey(seed)
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.num_layers))
+    h = cfg.hidden_size
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    ff = cfg.intermediate_size
+    params = {
+        "embed": _trunc_normal(next(keys), (cfg.vocab_size, h), dtype=dtype),
+        "layers": [],
+        "ln_f": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = _trunc_normal(next(keys), (h, cfg.vocab_size), dtype=dtype)
+    for _ in range(cfg.num_layers):
+        params["layers"].append({
+            "ln1": jnp.ones((h,), dtype),
+            "q_w": _trunc_normal(next(keys), (h, qd), dtype=dtype),
+            "q_b": jnp.zeros((qd,), dtype),
+            "k_w": _trunc_normal(next(keys), (h, kvd), dtype=dtype),
+            "k_b": jnp.zeros((kvd,), dtype),
+            "v_w": _trunc_normal(next(keys), (h, kvd), dtype=dtype),
+            "v_b": jnp.zeros((kvd,), dtype),
+            "o_w": _trunc_normal(next(keys), (qd, h), dtype=dtype),
+            "ln2": jnp.ones((h,), dtype),
+            "gate_w": _trunc_normal(next(keys), (h, ff), dtype=dtype),
+            "up_w": _trunc_normal(next(keys), (h, ff), dtype=dtype),
+            "down_w": _trunc_normal(next(keys), (ff, h), dtype=dtype),
+        })
+    return params
+
+
+# ---------------------------------------------------------------------------
+# HF safetensors loading
+# ---------------------------------------------------------------------------
+
+def _load_safetensors_dir(path: str) -> dict[str, np.ndarray]:
+    """Load all *.safetensors files under `path` into one flat name→array dict."""
+    from safetensors import safe_open  # available via transformers' deps
+
+    tensors: dict[str, np.ndarray] = {}
+    files = sorted(f for f in os.listdir(path) if f.endswith(".safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {path}")
+    for fname in files:
+        with safe_open(os.path.join(path, fname), framework="np") as f:
+            for name in f.keys():
+                tensors[name] = f.get_tensor(name)
+    return tensors
+
+
+def _get(tensors: dict, *names: str) -> np.ndarray:
+    for n in names:
+        if n in tensors:
+            return tensors[n]
+    raise KeyError(f"none of {names} in checkpoint (have {len(tensors)} tensors)")
+
+
+def load_encoder_params(cfg: EncoderConfig, snapshot_dir: str, dtype=jnp.bfloat16) -> dict:
+    """XLM-RoBERTa HF naming → our pytree. Linear weights transposed to (in, out)."""
+    t = _load_safetensors_dir(snapshot_dir)
+
+    def W(name):  # HF (out, in) → (in, out)
+        return jnp.asarray(_get(t, name, "roberta." + name).T.copy(), dtype=dtype)
+
+    def A(name):
+        return jnp.asarray(_get(t, name, "roberta." + name), dtype=dtype)
+
+    params = {
+        "embed": {
+            "word": A("embeddings.word_embeddings.weight"),
+            "pos": A("embeddings.position_embeddings.weight"),
+            "type": A("embeddings.token_type_embeddings.weight"),
+            "ln_scale": A("embeddings.LayerNorm.weight"),
+            "ln_bias": A("embeddings.LayerNorm.bias"),
+        },
+        "layers": [],
+    }
+    for i in range(cfg.num_layers):
+        p = f"encoder.layer.{i}."
+        params["layers"].append({
+            "q_w": W(p + "attention.self.query.weight"),
+            "q_b": A(p + "attention.self.query.bias"),
+            "k_w": W(p + "attention.self.key.weight"),
+            "k_b": A(p + "attention.self.key.bias"),
+            "v_w": W(p + "attention.self.value.weight"),
+            "v_b": A(p + "attention.self.value.bias"),
+            "o_w": W(p + "attention.output.dense.weight"),
+            "o_b": A(p + "attention.output.dense.bias"),
+            "attn_ln_scale": A(p + "attention.output.LayerNorm.weight"),
+            "attn_ln_bias": A(p + "attention.output.LayerNorm.bias"),
+            "ff_w1": W(p + "intermediate.dense.weight"),
+            "ff_b1": A(p + "intermediate.dense.bias"),
+            "ff_w2": W(p + "output.dense.weight"),
+            "ff_b2": A(p + "output.dense.bias"),
+            "ff_ln_scale": A(p + "output.LayerNorm.weight"),
+            "ff_ln_bias": A(p + "output.LayerNorm.bias"),
+        })
+    return params
+
+
+def load_decoder_params(cfg: DecoderConfig, snapshot_dir: str, dtype=jnp.bfloat16) -> dict:
+    """Qwen2 HF naming → our pytree."""
+    t = _load_safetensors_dir(snapshot_dir)
+
+    def W(name):
+        return jnp.asarray(_get(t, name).T.copy(), dtype=dtype)
+
+    def A(name):
+        return jnp.asarray(_get(t, name), dtype=dtype)
+
+    params = {
+        "embed": A("model.embed_tokens.weight"),
+        "layers": [],
+        "ln_f": A("model.norm.weight"),
+    }
+    if "lm_head.weight" in t and not cfg.tie_word_embeddings:
+        params["lm_head"] = W("lm_head.weight")
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}."
+        params["layers"].append({
+            "ln1": A(p + "input_layernorm.weight"),
+            "q_w": W(p + "self_attn.q_proj.weight"),
+            "q_b": A(p + "self_attn.q_proj.bias"),
+            "k_w": W(p + "self_attn.k_proj.weight"),
+            "k_b": A(p + "self_attn.k_proj.bias"),
+            "v_w": W(p + "self_attn.v_proj.weight"),
+            "v_b": A(p + "self_attn.v_proj.bias"),
+            "o_w": W(p + "self_attn.o_proj.weight"),
+            "ln2": A(p + "post_attention_layernorm.weight"),
+            "gate_w": W(p + "mlp.gate_proj.weight"),
+            "up_w": W(p + "mlp.up_proj.weight"),
+            "down_w": W(p + "mlp.down_proj.weight"),
+        })
+    return params
+
+
+def find_snapshot(weights_dir: str | None, model_name: str) -> str | None:
+    """Locate a local HF snapshot for `model_name` under weights_dir or the HF cache."""
+    candidates = []
+    if weights_dir:
+        candidates.append(os.path.join(weights_dir, model_name.replace("/", "--")))
+        candidates.append(os.path.join(weights_dir, model_name.split("/")[-1]))
+        candidates.append(weights_dir)
+    hub = os.path.expanduser("~/.cache/huggingface/hub")
+    repo = os.path.join(hub, "models--" + model_name.replace("/", "--"), "snapshots")
+    if os.path.isdir(repo):
+        for snap in sorted(os.listdir(repo)):
+            candidates.append(os.path.join(repo, snap))
+    for c in candidates:
+        if c and os.path.isdir(c) and any(f.endswith(".safetensors") for f in os.listdir(c)):
+            return c
+    return None
+
+
+def get_encoder_params(cfg: EncoderConfig, weights_dir: str | None,
+                       model_name: str, dtype=jnp.bfloat16) -> tuple[dict, bool]:
+    """Returns (params, loaded_real_weights)."""
+    snap = find_snapshot(weights_dir, model_name)
+    if snap:
+        return load_encoder_params(cfg, snap, dtype=dtype), True
+    return init_encoder_params(cfg, dtype=dtype), False
+
+
+def get_decoder_params(cfg: DecoderConfig, weights_dir: str | None,
+                       model_name: str, dtype=jnp.bfloat16) -> tuple[dict, bool]:
+    snap = find_snapshot(weights_dir, model_name)
+    if snap:
+        return load_decoder_params(cfg, snap, dtype=dtype), True
+    return init_decoder_params(cfg, dtype=dtype), False

@@ -1,0 +1,158 @@
+"""Queue semantics tests: batch formation bounds, consume-once results,
+Redis wire contract (via fakeredis if present, else a minimal stub)."""
+
+import json
+import threading
+import time
+
+import pytest
+
+from rag_serving_system_tpu.core.request_queue import RequestQueue, RedisRequestQueue
+
+
+def test_batch_is_size_bounded():
+    q = RequestQueue(max_batch_size=4, max_wait_time=5.0)
+    for i in range(10):
+        q.add_request(f"q{i}", k=1)
+    batch = q.get_batch()
+    assert len(batch) == 4
+    assert [b["query"] for b in batch] == ["q0", "q1", "q2", "q3"]
+
+
+def test_batch_is_time_bounded():
+    q = RequestQueue(max_batch_size=100, max_wait_time=0.3)
+    q.add_request("only", k=1)
+    t0 = time.time()
+    batch = q.get_batch()
+    assert len(batch) == 1
+    assert time.time() - t0 < 2.0
+
+
+def test_empty_queue_returns_empty_batch():
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.2)
+    assert q.get_batch() == []
+
+
+def test_items_carry_timestamp_and_k():
+    q = RequestQueue()
+    q.add_request("hello", k=7)
+    item = q.get_batch()[0]
+    assert item["k"] == 7 and "timestamp" in item and "id" in item
+
+
+def test_result_consume_once():
+    q = RequestQueue()
+    rid = q.add_request("x")
+    q.store_result(rid, {"result": "a"})
+    assert q.get_result(rid, timeout=1) == {"result": "a"}
+    assert q.get_result(rid, timeout=0.05) is None
+
+
+def test_result_event_wakeup_is_fast():
+    q = RequestQueue(polling_interval=5.0)  # event path must ignore this
+    rid = q.add_request("x")
+
+    def worker():
+        time.sleep(0.15)
+        q.store_result(rid, {"result": "done"})
+
+    threading.Thread(target=worker, daemon=True).start()
+    t0 = time.time()
+    assert q.get_result(rid, timeout=3) == {"result": "done"}
+    assert time.time() - t0 < 1.0  # woke on the event, not a 5 s poll
+
+
+class _StubRedis:
+    """Minimal in-process Redis lookalike covering the ops we use."""
+
+    def __init__(self):
+        self.lists = {}
+        self.kv = {}
+
+    def rpush(self, key, val):
+        self.lists.setdefault(key, []).append(val)
+
+    def lpop(self, key):
+        lst = self.lists.get(key)
+        return lst.pop(0) if lst else None
+
+    def blpop(self, key, timeout=0):
+        v = self.lpop(key)
+        if v is None:
+            time.sleep(min(timeout, 0.01))
+            return None
+        return (key, v)
+
+    def llen(self, key):
+        return len(self.lists.get(key, []))
+
+    def lindex(self, key, i):
+        lst = self.lists.get(key, [])
+        return lst[i] if -len(lst) <= i < len(lst) else None
+
+    def setex(self, key, ttl, val):
+        self.kv[key] = val
+
+    def get(self, key):
+        return self.kv.get(key)
+
+    def delete(self, key):
+        self.kv.pop(key, None)
+
+    def pipeline(self):
+        outer = self
+
+        class _Pipe:
+            def __init__(self):
+                self.ops = []
+
+            def lpop(self, key):
+                self.ops.append(key)
+
+            def execute(self):
+                return [outer.lpop(k) for k in self.ops]
+
+        return _Pipe()
+
+
+@pytest.fixture
+def redis_queue():
+    try:
+        import fakeredis
+        client = fakeredis.FakeRedis()
+    except ImportError:
+        client = _StubRedis()
+    return RedisRequestQueue(client=client, max_batch_size=4, max_wait_time=0.3,
+                             polling_interval=0.02)
+
+
+def test_redis_wire_contract(redis_queue):
+    rid = redis_queue.add_request("what is jax", k=3)
+    raw = redis_queue.redis.lindex("rag_service:requests", 0)
+    payload = json.loads(raw)
+    assert payload["id"] == rid
+    assert payload["query"] == "what is jax"
+    assert payload["k"] == 3
+    assert "timestamp" in payload  # the autoscaler contract (auto_scaler.py:36-39)
+
+
+def test_redis_batch_and_results(redis_queue):
+    ids = [redis_queue.add_request(f"q{i}") for i in range(6)]
+    batch = redis_queue.get_batch()
+    assert len(batch) == 4  # size-bounded
+    assert [b["id"] for b in batch] == ids[:4]
+    redis_queue.store_result(ids[0], {"result": "r0"})
+    key = "rag_service:result:" + ids[0]
+    assert redis_queue.redis.get(key) is not None
+    assert redis_queue.get_result(ids[0], timeout=1) == {"result": "r0"}
+    assert redis_queue.redis.get(key) is None  # consumed
+    assert redis_queue.get_result("missing", timeout=0.05) is None
+
+
+def test_redis_queue_metrics(redis_queue):
+    assert redis_queue.queue_size() == 0
+    assert redis_queue.oldest_wait_time() == 0.0
+    redis_queue.add_request("a")
+    time.sleep(0.05)
+    assert redis_queue.queue_size() == 1
+    assert redis_queue.oldest_wait_time() >= 0.04
