@@ -1,0 +1,114 @@
+"""End-to-end RAG throughput benchmark (the reference's headline metric).
+
+Reference baseline: 23.67 req/s end-to-end on 1x NVIDIA L4 at batch 32
+(reference README.md:3, protocol in SURVEY §6 / BASELINE.md). This bench
+reproduces the serving configuration — short_facts-scale corpus (100 docs),
+k=2, MAX_BATCH_SIZE=32, max_new_tokens=10, sampling on — and measures
+steady-state batches through the full engine pipeline:
+
+  host tokenize → e5-large encode (mean-pool) → fused cosine top-k →
+  host prompt build → Qwen2.5-1.5B prefill + 10-token KV-cached decode →
+  host detokenize
+
+Model weights are architecture-true (e5-large 560M / Qwen2.5-1.5B) random
+inits when no HF snapshot is present — identical FLOPs/memory to real
+weights, so the throughput number is honest.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_RPS = 23.67  # reference README.md:3
+
+
+def build_corpus(n_docs: int, dim: int):
+    import numpy as np
+
+    subjects = ["water", "the sun", "gold", "oxygen", "the moon", "iron",
+                "light", "sound", "carbon", "helium"]
+    facts = []
+    for i in range(n_docs):
+        s = subjects[i % len(subjects)]
+        facts.append(
+            f"Fact {i}: {s} has the measured property number {i} with value "
+            f"{i * 3 + 1} under standard conditions according to study {i}.")
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((n_docs, dim)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=-1, keepdims=True)
+    return facts, emb
+
+
+def main() -> None:
+    from rag_serving_system_tpu.config import Settings
+
+    mode = os.environ.get("BENCH_MODE", "full")
+    batch = int(os.environ.get("BENCH_BATCH", "32"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
+
+    settings = Settings(
+        model_preset="tiny" if mode == "tiny" else "full",
+        batch_buckets=[batch],
+        encode_len_buckets=[32],
+        prompt_len_buckets=[128],
+        max_new_tokens=10,
+        max_k=16,
+        max_batch_size=batch,
+    )
+
+    import jax
+    import numpy as np
+
+    # persistent compile cache: repeat runs skip the ~2 min XLA compile
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from rag_serving_system_tpu.core.engine import RagEngine
+    from rag_serving_system_tpu.models.configs import encoder_config_for
+
+    enc_cfg = encoder_config_for(settings.model_preset)
+    docs, emb = build_corpus(100, enc_cfg.hidden_size)
+    print(f"[bench] backend={jax.default_backend()} devices={len(jax.devices())} "
+          f"mode={mode} batch={batch}", file=sys.stderr)
+
+    t0 = time.time()
+    engine = RagEngine(settings, docs, emb)
+    print(f"[bench] engine ready in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    queries = [f"What is the measured property number {i} of the subject?"
+               for i in range(batch)]
+    ks = [2] * batch
+
+    t0 = time.time()
+    engine.process(queries, ks)  # compile
+    print(f"[bench] first batch (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    engine.process(queries, ks)  # warm
+    warm = time.time() - t0
+    print(f"[bench] warm batch {warm:.3f}s", file=sys.stderr)
+
+    t0 = time.time()
+    for i in range(n_batches):
+        # vary query text so host-side work is realistic (shapes stay fixed)
+        qs = [f"What is the measured property number {i * batch + j} right now?"
+              for j in range(batch)]
+        engine.process(qs, ks)
+    elapsed = time.time() - t0
+    rps = batch * n_batches / elapsed
+
+    print(json.dumps({
+        "metric": "rag_e2e_throughput_b32",
+        "value": round(rps, 2),
+        "unit": "req/s",
+        "vs_baseline": round(rps / BASELINE_RPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

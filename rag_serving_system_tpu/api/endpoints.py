@@ -1,0 +1,119 @@
+"""HTTP surface (reference: rag_service/api/endpoints.py:14-75).
+
+Same routes and response shapes as the reference's FastAPI app, implemented
+on aiohttp (async, production event loop):
+
+- POST /rag                → {"request_id", "status": "processing"}
+- GET  /rag/result/{id}    → {"status": "processing"} | {"status": "complete", "result": ...}
+- GET  /health             → {"status": "healthy"}
+- GET  /metrics            → Prometheus text
+
+Validation mirrors FastAPI's: malformed bodies get HTTP 422 with error
+details. The reference's /metrics route was never registered (missing `@` at
+endpoints.py:47); here it is registered and extended with batch-pipeline
+gauges fed by the BatchProcessor.
+"""
+
+from __future__ import annotations
+
+import asyncio
+
+from aiohttp import web
+from prometheus_client import CollectorRegistry, Counter, Gauge, generate_latest
+from pydantic import ValidationError
+
+from rag_serving_system_tpu.api.models import QueryRequest
+
+
+def create_api(request_queue, processor=None) -> web.Application:
+    app = web.Application()
+    registry = CollectorRegistry()
+    queue_size_g = Gauge("rag_queue_size", "Number of requests in queue",
+                         registry=registry)
+    queue_wait_g = Gauge("rag_queue_wait_time", "Oldest-request wait time (seconds)",
+                         registry=registry)
+    batch_seconds_g = Gauge("rag_last_batch_seconds", "Wall time of the last batch",
+                            registry=registry)
+    requests_total_c = Counter("rag_requests_total", "Requests accepted",
+                               registry=registry)
+
+    async def rag_endpoint(request: web.Request) -> web.Response:
+        try:
+            payload = QueryRequest.model_validate(await request.json())
+        except (ValidationError, ValueError) as e:
+            detail = e.errors() if isinstance(e, ValidationError) else str(e)
+            return web.json_response({"detail": detail}, status=422)
+        request_id = request_queue.add_request(payload.query, payload.k)
+        requests_total_c.inc()
+        return web.json_response({"request_id": request_id, "status": "processing"})
+
+    async def get_result(request: web.Request) -> web.Response:
+        request_id = request.match_info["request_id"]
+        # the in-memory queue's get_result blocks up to `timeout`; run it off
+        # the event loop so concurrent pollers don't serialize
+        result = await asyncio.get_event_loop().run_in_executor(
+            None, lambda: request_queue.get_result(request_id, 0.1))
+        if result is None:
+            return web.json_response({"status": "processing"})
+        return web.json_response({"status": "complete", "result": result})
+
+    async def health_check(_: web.Request) -> web.Response:
+        return web.json_response({"status": "healthy"})
+
+    async def metrics(_: web.Request) -> web.Response:
+        queue_size_g.set(request_queue.queue_size())
+        queue_wait_g.set(request_queue.oldest_wait_time())
+        if processor is not None:
+            batch_seconds_g.set(processor.last_batch_seconds)
+        return web.Response(body=generate_latest(registry),
+                            content_type="text/plain")
+
+    app.router.add_post("/rag", rag_endpoint)
+    app.router.add_get("/rag/result/{request_id}", get_result)
+    app.router.add_get("/health", health_check)
+    app.router.add_get("/metrics", metrics)
+    return app
+
+
+def run_app(app: web.Application, host: str, port: int) -> None:
+    """Blocking server run (uvicorn.run equivalent, reference main.py:72-76)."""
+    web.run_app(app, host=host, port=port, print=None)
+
+
+class ServerThread:
+    """Run the aiohttp app on a background thread (tests / embedding)."""
+
+    def __init__(self, app: web.Application, host: str = "127.0.0.1", port: int = 0):
+        import threading
+
+        self.app = app
+        self.host = host
+        self.port = port
+        self._loop = asyncio.new_event_loop()
+        self._started = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        asyncio.set_event_loop(self._loop)
+        runner = web.AppRunner(self.app)
+        self._loop.run_until_complete(runner.setup())
+        site = web.TCPSite(runner, self.host, self.port)
+        self._loop.run_until_complete(site.start())
+        # resolve the actual port when port=0
+        self.port = runner.addresses[0][1]
+        self._runner = runner
+        self._started.set()
+        self._loop.run_forever()
+
+    def start(self) -> "ServerThread":
+        self._thread.start()
+        self._started.wait(timeout=30)
+        return self
+
+    @property
+    def url(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def stop(self) -> None:
+        self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=10)

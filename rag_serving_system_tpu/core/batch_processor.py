@@ -1,0 +1,75 @@
+"""Background batch processor: drains the queue, runs the engine, stores results.
+
+Same role and lifecycle as the reference's `BatchProcessor(threading.Thread)`
+(reference: rag_service/core/batch_processor.py:15-69): daemon thread, loop of
+`get_batch()` → pipeline → `store_result`, error isolation per request and per
+batch so clients never hang (batch_processor.py:108-125).
+
+TPU-era differences:
+- the pipeline is RagEngine's jit-compiled path (fixed-shape padded buckets);
+- per-stage timings are recorded for /metrics and jax.profiler hooks.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+import time
+
+from rag_serving_system_tpu.core.engine import RagEngine
+
+logger = logging.getLogger(__name__)
+
+
+class BatchProcessor(threading.Thread):
+    def __init__(self, request_queue, engine: RagEngine,
+                 polling_interval: float = 0.3):
+        super().__init__(daemon=True)
+        self.request_queue = request_queue
+        self.engine = engine
+        self.polling_interval = polling_interval
+        self.running = False
+        # rolling stats for observability
+        self.batches_processed = 0
+        self.requests_processed = 0
+        self.last_batch_seconds = 0.0
+
+    def run(self) -> None:
+        self.running = True
+        logger.info("BatchProcessor started.")
+        while self.running:
+            try:
+                batch = self.request_queue.get_batch()
+                if not batch:
+                    time.sleep(self.polling_interval)
+                    continue
+                t0 = time.time()
+                self._process_batch(batch)
+                self.last_batch_seconds = time.time() - t0
+                self.batches_processed += 1
+                self.requests_processed += len(batch)
+                logger.info("processed batch of %d in %.3fs",
+                            len(batch), self.last_batch_seconds)
+            except Exception:  # keep serving no matter what (reference bp.py:68)
+                logger.exception("batch loop error")
+        logger.info("BatchProcessor stopped.")
+
+    def _process_batch(self, batch: list) -> None:
+        request_ids = [req["id"] for req in batch]
+        try:
+            queries = [req["query"] for req in batch]
+            ks = [req.get("k", 2) for req in batch]
+            results = self.engine.process(queries, ks)
+            for rid, res in zip(request_ids, results):
+                try:
+                    self.request_queue.store_result(rid, res)
+                except Exception as e:
+                    logger.error("error storing result for %s: %s", rid, e)
+        except Exception as e:
+            logger.exception("error processing batch %s", request_ids)
+            for rid in request_ids:
+                self.request_queue.store_result(
+                    rid, {"error": str(e), "status": "failed"})
+
+    def stop(self) -> None:
+        self.running = False

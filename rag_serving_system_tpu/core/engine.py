@@ -1,0 +1,212 @@
+"""The RAG serving engine: embed → retrieve → generate, TPU-resident.
+
+Replaces the reference's three-stage torch/CuPy/HF-pipeline batch path
+(reference: rag_service/core/batch_processor.py:74-113) with two jit-compiled
+XLA programs per shape bucket:
+
+  1. `embed+retrieve` — encoder forward, mean-pool, L2-normalized cosine
+     top-k against the device-resident corpus. Query embeddings never leave
+     the device; only the (B, max_k) index matrix comes to host.
+  2. `generate` — prefill + KV-cached lax.scan decode, sampling on device.
+
+Between the two, the host looks up document text and re-tokenizes prompts
+(inherently host work — same boundary the reference has).
+
+Shape discipline: dynamic user batches are padded to fixed (batch, seq-len)
+buckets so XLA compiles a small closed set of programs; compile happens
+lazily per bucket and is cached for the process lifetime.
+
+Parity notes with the reference pipeline:
+- query prefix "query: "                      (batch_processor.py:83)
+- UNMASKED mean pooling                       (batch_processor.py:91)
+- doc join "\\n---\\n"                          (batch_processor.py:100)
+- prompt template                             (batch_processor.py:103)
+- max_new_tokens=10, sampling on             (batch_processor.py:105)
+- result envelope {"result": <text>} — but with the *generated text*
+  instead of the reference's str(pipeline-output) repr (SURVEY §3.3 note).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rag_serving_system_tpu.config import Settings
+from rag_serving_system_tpu.models import (
+    DecoderConfig,
+    EncoderConfig,
+    decoder_config_for,
+    encoder_config_for,
+)
+from rag_serving_system_tpu.models.e5 import encode
+from rag_serving_system_tpu.models.qwen2 import generate
+from rag_serving_system_tpu.models.tokenizer import get_tokenizer, HashTokenizer
+from rag_serving_system_tpu.models.weights import get_decoder_params, get_encoder_params
+from rag_serving_system_tpu.ops.topk import cosine_topk_pallas, cosine_topk_reference
+from rag_serving_system_tpu.parallel.mesh import make_mesh
+from rag_serving_system_tpu.parallel.sharded_topk import shard_corpus, sharded_cosine_topk
+
+logger = logging.getLogger(__name__)
+
+PROMPT_TEMPLATE = "Context:\n{context}\n\nQuestion: {question}\n\nThe Answer to this question is: "
+DOC_JOIN = "\n---\n"
+QUERY_PREFIX = "query: "
+
+
+def pick_bucket(buckets: Sequence[int], n: int) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
+def _encode_compiled(params, cfg, ids, mask, dtype):
+    return encode(params, cfg, ids, mask, pooling="mean_all", dtype=dtype)
+
+
+class RagEngine:
+    """Owns models, tokenizers, the device-resident corpus, and the compiled
+    pipeline functions."""
+
+    def __init__(
+        self,
+        settings: Settings,
+        documents: List[str],
+        doc_embeddings: np.ndarray,   # (N, D) f32 (pre-normalized or not)
+        mesh=None,
+    ):
+        self.settings = settings
+        self.documents = list(documents)
+        self.dtype = jnp.bfloat16 if settings.dtype == "bfloat16" else jnp.float32
+
+        self.enc_cfg: EncoderConfig = encoder_config_for(settings.model_preset)
+        self.dec_cfg: DecoderConfig = decoder_config_for(settings.model_preset)
+
+        t0 = time.time()
+        self.enc_params, enc_real = get_encoder_params(
+            self.enc_cfg, settings.weights_dir, settings.embed_model_name, self.dtype)
+        self.dec_params, dec_real = get_decoder_params(
+            self.dec_cfg, settings.weights_dir, settings.llm_model_name, self.dtype)
+        logger.info("models ready in %.1fs (encoder weights: %s, decoder weights: %s)",
+                    time.time() - t0,
+                    "hf" if enc_real else "random-init",
+                    "hf" if dec_real else "random-init")
+
+        self.enc_tok = (get_tokenizer(settings.embed_model_name, self.enc_cfg.vocab_size)
+                        if enc_real else
+                        HashTokenizer(self.enc_cfg.vocab_size, pad_id=self.enc_cfg.pad_token_id))
+        self.dec_tok = (get_tokenizer(settings.llm_model_name, self.dec_cfg.vocab_size)
+                        if dec_real else
+                        HashTokenizer(self.dec_cfg.vocab_size,
+                                      pad_id=self.dec_cfg.pad_token_id,
+                                      eos_id=self.dec_cfg.eos_token_id))
+
+        # corpus on device, normalized once
+        emb = np.asarray(doc_embeddings, dtype=np.float32)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        self.n_docs = emb.shape[0]
+        self.mesh = mesh
+        n_dev = 1 if mesh is None else mesh.devices.size
+        if n_dev > 1:
+            self.corpus = shard_corpus(jnp.asarray(emb), mesh)
+        else:
+            self.corpus = jax.device_put(jnp.asarray(emb))
+        self.use_pallas = jax.default_backend() == "tpu"
+        self.max_k = min(settings.max_k, self.n_docs)
+        self._rng = jax.random.PRNGKey(0)
+
+    # ------------------------------------------------------------------
+    # stage 1+2: embed + retrieve (device-fused; indices only to host)
+    # ------------------------------------------------------------------
+
+    def _embed_jit(self, ids, mask):
+        return _encode_compiled(self.enc_params, self.enc_cfg, ids, mask, self.dtype)
+
+    def _topk(self, q_emb, k: int):
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            return sharded_cosine_topk(self.corpus, q_emb, k, self.mesh,
+                                       valid_n=self.n_docs, use_pallas=self.use_pallas)
+        if self.use_pallas:
+            return cosine_topk_pallas(self.corpus, q_emb, k)
+        return cosine_topk_reference(self.corpus, q_emb, k)
+
+    def embed_and_retrieve(self, queries: List[str], ks: List[int]) -> List[List[int]]:
+        """Returns per-query document-index lists (variable k, host-sliced)."""
+        if not queries:
+            return []
+        bsz = pick_bucket(self.settings.batch_buckets, len(queries))
+        texts = [QUERY_PREFIX + q for q in queries] + [""] * (bsz - len(queries))
+        max_len = self._encode_len(texts)
+        ids, mask = self.enc_tok.encode_batch(texts, max_len, pad_side="right")
+        # fully padded rows would make the unmasked mean degenerate; give the
+        # pad rows one real token so the forward is well-defined (discarded)
+        mask[len(queries):, 0] = 1
+        q_emb = self._embed_jit(jnp.asarray(ids), jnp.asarray(mask))
+        ks = [max(1, min(int(k), self.n_docs)) for k in ks]
+        # fixed compiled k (reference's fixed-max_k trick, retriever.py:744-769);
+        # k beyond max_k triggers a rare recompile rather than failing
+        kmax = max(ks)
+        k = self.max_k if kmax <= self.max_k else kmax
+        _, idx = self._topk(q_emb, k)
+        idx = np.asarray(idx)  # single device→host transfer
+        return [list(map(int, idx[i, :ks[i]])) for i in range(len(queries))]
+
+    def _encode_len(self, texts: List[str]) -> int:
+        longest = max(len(self.enc_tok.encode(t)) for t in texts)
+        return pick_bucket(self.settings.encode_len_buckets, longest)
+
+    # ------------------------------------------------------------------
+    # stage 3: generate
+    # ------------------------------------------------------------------
+
+    def generate_answers(self, prompts: List[str]) -> List[str]:
+        if not prompts:
+            return []
+        bsz = pick_bucket(self.settings.batch_buckets, len(prompts))
+        padded = prompts + [""] * (bsz - len(prompts))
+        longest = max(len(self.dec_tok.encode(t)) for t in prompts)
+        plen = pick_bucket(self.settings.prompt_len_buckets, longest)
+        ids, mask = self.dec_tok.encode_batch(padded, plen, pad_side="left")
+        mask[len(prompts):, -1] = 1  # keep pad rows well-defined
+        self._rng, rng = jax.random.split(self._rng)
+        toks = generate(self.dec_params, self.dec_cfg,
+                        jnp.asarray(ids), jnp.asarray(mask), rng,
+                        max_new_tokens=self.settings.max_new_tokens,
+                        do_sample=True, dtype=self.dtype)
+        toks = np.asarray(toks)
+        out = []
+        for i in range(len(prompts)):
+            row = [t for t in toks[i]
+                   if t not in (self.dec_cfg.pad_token_id, self.dec_cfg.eos_token_id)]
+            out.append(self.dec_tok.decode(row))
+        return out
+
+    # ------------------------------------------------------------------
+    # full pipeline
+    # ------------------------------------------------------------------
+
+    def process(self, queries: List[str], ks: List[int]) -> List[dict]:
+        """Full RAG for a batch. Returns per-request result dicts."""
+        t0 = time.time()
+        doc_idx = self.embed_and_retrieve(queries, ks)
+        t1 = time.time()
+        contexts = [DOC_JOIN.join(self.documents[i] for i in row) for row in doc_idx]
+        prompts = [PROMPT_TEMPLATE.format(context=c, question=q)
+                   for q, c in zip(queries, contexts)]
+        answers = self.generate_answers(prompts)
+        t2 = time.time()
+        logger.info("batch=%d embed+retrieve=%.3fs generate=%.3fs",
+                    len(queries), t1 - t0, t2 - t1)
+        return [{"result": a} for a in answers]
+
+    def warmup(self, batch_sizes: Sequence[int] | None = None) -> None:
+        """Pre-compile the hot buckets so first requests don't pay compile."""
+        for b in (batch_sizes or [self.settings.max_batch_size]):
+            self.process(["warmup query"] * b, [1] * b)

@@ -33,10 +33,16 @@ def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
     return (jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32) * std).astype(dtype)
 
 
+def _stacked(key, n_layers, shape, dtype):
+    """One device op for all layers of a given weight kind (fast through
+    high-latency device tunnels: ~1 dispatch instead of n_layers)."""
+    return _trunc_normal(key, (n_layers,) + shape, dtype=dtype)
+
+
 def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -> dict:
     key = jax.random.PRNGKey(seed)
-    keys = iter(jax.random.split(key, 8 + 16 * cfg.num_layers))
-    h, ff = cfg.hidden_size, cfg.intermediate_size
+    keys = iter(jax.random.split(key, 16))
+    h, ff, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
     params = {
         "embed": {
             "word": _trunc_normal(next(keys), (cfg.vocab_size, h), dtype=dtype),
@@ -47,22 +53,24 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -
         },
         "layers": [],
     }
-    for _ in range(cfg.num_layers):
+    stacks = {
+        "q_w": _stacked(next(keys), L, (h, h), dtype),
+        "k_w": _stacked(next(keys), L, (h, h), dtype),
+        "v_w": _stacked(next(keys), L, (h, h), dtype),
+        "o_w": _stacked(next(keys), L, (h, h), dtype),
+        "ff_w1": _stacked(next(keys), L, (h, ff), dtype),
+        "ff_w2": _stacked(next(keys), L, (ff, h), dtype),
+    }
+    for i in range(L):
         params["layers"].append({
-            "q_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
-            "q_b": jnp.zeros((h,), dtype),
-            "k_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
-            "k_b": jnp.zeros((h,), dtype),
-            "v_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
-            "v_b": jnp.zeros((h,), dtype),
-            "o_w": _trunc_normal(next(keys), (h, h), dtype=dtype),
-            "o_b": jnp.zeros((h,), dtype),
+            "q_w": stacks["q_w"][i], "q_b": jnp.zeros((h,), dtype),
+            "k_w": stacks["k_w"][i], "k_b": jnp.zeros((h,), dtype),
+            "v_w": stacks["v_w"][i], "v_b": jnp.zeros((h,), dtype),
+            "o_w": stacks["o_w"][i], "o_b": jnp.zeros((h,), dtype),
             "attn_ln_scale": jnp.ones((h,), dtype),
             "attn_ln_bias": jnp.zeros((h,), dtype),
-            "ff_w1": _trunc_normal(next(keys), (h, ff), dtype=dtype),
-            "ff_b1": jnp.zeros((ff,), dtype),
-            "ff_w2": _trunc_normal(next(keys), (ff, h), dtype=dtype),
-            "ff_b2": jnp.zeros((h,), dtype),
+            "ff_w1": stacks["ff_w1"][i], "ff_b1": jnp.zeros((ff,), dtype),
+            "ff_w2": stacks["ff_w2"][i], "ff_b2": jnp.zeros((h,), dtype),
             "ff_ln_scale": jnp.ones((h,), dtype),
             "ff_ln_bias": jnp.zeros((h,), dtype),
         })
@@ -71,8 +79,8 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -
 
 def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -> dict:
     key = jax.random.PRNGKey(seed)
-    keys = iter(jax.random.split(key, 4 + 8 * cfg.num_layers))
-    h = cfg.hidden_size
+    keys = iter(jax.random.split(key, 16))
+    h, L = cfg.hidden_size, cfg.num_layers
     qd = cfg.num_heads * cfg.head_dim
     kvd = cfg.num_kv_heads * cfg.head_dim
     ff = cfg.intermediate_size
@@ -83,20 +91,26 @@ def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _trunc_normal(next(keys), (h, cfg.vocab_size), dtype=dtype)
-    for _ in range(cfg.num_layers):
+    stacks = {
+        "q_w": _stacked(next(keys), L, (h, qd), dtype),
+        "k_w": _stacked(next(keys), L, (h, kvd), dtype),
+        "v_w": _stacked(next(keys), L, (h, kvd), dtype),
+        "o_w": _stacked(next(keys), L, (qd, h), dtype),
+        "gate_w": _stacked(next(keys), L, (h, ff), dtype),
+        "up_w": _stacked(next(keys), L, (h, ff), dtype),
+        "down_w": _stacked(next(keys), L, (ff, h), dtype),
+    }
+    for i in range(L):
         params["layers"].append({
             "ln1": jnp.ones((h,), dtype),
-            "q_w": _trunc_normal(next(keys), (h, qd), dtype=dtype),
-            "q_b": jnp.zeros((qd,), dtype),
-            "k_w": _trunc_normal(next(keys), (h, kvd), dtype=dtype),
-            "k_b": jnp.zeros((kvd,), dtype),
-            "v_w": _trunc_normal(next(keys), (h, kvd), dtype=dtype),
-            "v_b": jnp.zeros((kvd,), dtype),
-            "o_w": _trunc_normal(next(keys), (qd, h), dtype=dtype),
+            "q_w": stacks["q_w"][i], "q_b": jnp.zeros((qd,), dtype),
+            "k_w": stacks["k_w"][i], "k_b": jnp.zeros((kvd,), dtype),
+            "v_w": stacks["v_w"][i], "v_b": jnp.zeros((kvd,), dtype),
+            "o_w": stacks["o_w"][i],
             "ln2": jnp.ones((h,), dtype),
-            "gate_w": _trunc_normal(next(keys), (h, ff), dtype=dtype),
-            "up_w": _trunc_normal(next(keys), (h, ff), dtype=dtype),
-            "down_w": _trunc_normal(next(keys), (ff, h), dtype=dtype),
+            "gate_w": stacks["gate_w"][i],
+            "up_w": stacks["up_w"][i],
+            "down_w": stacks["down_w"][i],
         })
     return params
 

@@ -1,0 +1,67 @@
+"""Tensor-parallel parameter shardings (GSPMD style).
+
+The reference has no model parallelism at all (SURVEY §2 parallelism ledger);
+this module is the TPU-native capability that replaces "buy more replicas":
+shard attention heads and MLP intermediate over the mesh "model" axis, batch
+over "data", and let XLA insert the collectives over ICI.
+
+Rules (megatron-style, per transformer convention):
+- q/k/v projections: shard OUTPUT dim (heads)   → column parallel
+- attention output:  shard INPUT dim            → row parallel (psum after)
+- MLP up/gate:       shard OUTPUT dim           → column parallel
+- MLP down:          shard INPUT dim            → row parallel (psum after)
+- embeddings/norms/biases-of-row-parallel: replicated
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# key name → PartitionSpec for 2-D weights (None entries replicate)
+_COL = {"q_w", "k_w", "v_w", "ff_w1", "gate_w", "up_w"}
+_ROW = {"o_w", "ff_w2", "down_w"}
+_COL_BIAS = {"q_b", "k_b", "v_b", "ff_b1"}
+
+
+def _spec_for(key: str, ndim: int) -> P:
+    if ndim == 2:
+        if key in _COL:
+            return P(None, "model")
+        if key in _ROW:
+            return P("model", None)
+        return P(None, None)
+    if ndim == 1 and key in _COL_BIAS:
+        return P("model")
+    return P(*([None] * ndim))
+
+
+def param_shardings(params, mesh: Mesh):
+    """Map our encoder/decoder pytrees to NamedShardings by leaf key name."""
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            return {k: (NamedSharding(mesh, _spec_for(k, v.ndim))
+                        if not isinstance(v, (dict, list)) else walk(v))
+                    for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [walk(v) for v in tree]
+        return NamedSharding(mesh, P(*([None] * tree.ndim)))
+
+    return walk(params)
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put a params pytree with TP shardings."""
+    shardings = param_shardings(params, mesh)
+    return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings,
+                        is_leaf=lambda x: not isinstance(x, (dict, list)))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the batch dim over "data", replicate the rest."""
+    return NamedSharding(mesh, P("data", None))
+
+
+def replicated(mesh: Mesh, ndim: int = 2) -> NamedSharding:
+    return NamedSharding(mesh, P(*([None] * ndim)))

@@ -1,0 +1,161 @@
+"""Integration tests: RagEngine pipeline + FastAPI surface (tiny models, CPU).
+
+Plays the role the reference delegates entirely to live load-testing
+(SURVEY §4): here the full queue→processor→engine→result loop runs in-process
+with FastAPI's TestClient."""
+
+import time
+
+import numpy as np
+import pytest
+import requests
+
+from rag_serving_system_tpu.config import Settings
+from rag_serving_system_tpu.core.engine import RagEngine, pick_bucket
+from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+from rag_serving_system_tpu.core.request_queue import RequestQueue
+from rag_serving_system_tpu.api.endpoints import create_api, ServerThread
+
+
+class _Client:
+    """requests-backed client against a live aiohttp server."""
+
+    def __init__(self, base_url):
+        self.base = base_url
+
+    def get(self, path):
+        return requests.get(self.base + path, timeout=30)
+
+    def post(self, path, json=None):
+        return requests.post(self.base + path, json=json, timeout=30)
+
+
+def tiny_settings(**over):
+    base = dict(model_preset="tiny", dtype="float32",
+                batch_buckets=[1, 2, 4, 8],
+                encode_len_buckets=[16, 32],
+                prompt_len_buckets=[64, 128],
+                max_new_tokens=4, max_k=4,
+                max_batch_size=4, max_wait_time=0.2, polling_interval=0.05)
+    base.update(over)
+    return Settings(**base)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.default_rng(0)
+    docs = [f"Fact {i}: the answer to question {i} is {i * i}." for i in range(30)]
+    emb = rng.standard_normal((30, 64)).astype(np.float32)
+    return RagEngine(tiny_settings(), docs, emb)
+
+
+def test_pick_bucket():
+    assert pick_bucket([1, 2, 4, 8], 3) == 4
+    assert pick_bucket([1, 2, 4, 8], 8) == 8
+    assert pick_bucket([1, 2, 4, 8], 9) == 8  # clamps to largest
+
+
+def test_engine_process_end_to_end(engine):
+    results = engine.process(["what is two plus two?", "who wrote hamlet?"], [2, 3])
+    assert len(results) == 2
+    for r in results:
+        assert "result" in r and isinstance(r["result"], str)
+
+
+def test_engine_variable_k(engine):
+    idx = engine.embed_and_retrieve(["q1", "q2", "q3"], [1, 2, 4])
+    assert [len(row) for row in idx] == [1, 2, 4]
+    assert all(0 <= i < 30 for row in idx for i in row)
+
+
+def test_engine_empty_batch(engine):
+    assert engine.process([], []) == []
+
+
+def test_engine_oversize_batch_pads_to_largest_bucket(engine):
+    # 9 queries > largest bucket 8: engine must still answer all 9
+    queries = [f"query number {i}" for i in range(9)]
+    results = engine.process(queries, [1] * 9)
+    assert len(results) == 9
+
+
+@pytest.fixture(scope="module")
+def serving_stack(engine):
+    queue = RequestQueue(max_batch_size=4, max_wait_time=0.2, polling_interval=0.02)
+    processor = BatchProcessor(queue, engine, polling_interval=0.02)
+    processor.start()
+    app = create_api(queue, processor)
+    server = ServerThread(app).start()
+    client = _Client(server.url)
+    yield client, queue, processor
+    processor.stop()
+    server.stop()
+
+
+def test_api_health(serving_stack):
+    client, _, _ = serving_stack
+    assert client.get("/health").json() == {"status": "healthy"}
+
+
+def test_api_full_request_cycle(serving_stack):
+    client, _, _ = serving_stack
+    resp = client.post("/rag", json={"query": "what is the speed of light?", "k": 2})
+    assert resp.status_code == 200
+    body = resp.json()
+    assert body["status"] == "processing"
+    rid = body["request_id"]
+
+    deadline = time.time() + 60
+    result = None
+    while time.time() < deadline:
+        r = client.get(f"/rag/result/{rid}").json()
+        if r["status"] == "complete":
+            result = r["result"]
+            break
+        time.sleep(0.05)
+    assert result is not None, "request never completed"
+    assert "result" in result
+
+    # consume-once: a second poll reports processing again (reference semantics,
+    # request_queue.py:132)
+    assert client.get(f"/rag/result/{rid}").json() == {"status": "processing"}
+
+
+def test_api_default_k(serving_stack):
+    client, _, _ = serving_stack
+    resp = client.post("/rag", json={"query": "no k supplied"})
+    assert resp.status_code == 200
+
+
+def test_api_rejects_malformed_body(serving_stack):
+    client, _, _ = serving_stack
+    assert client.post("/rag", json={"k": 2}).status_code == 422
+    assert client.post("/rag", json={"query": "x", "k": "lots"}).status_code == 422
+
+
+def test_api_metrics_registered(serving_stack):
+    """The reference's /metrics was dead code (endpoints.py:47 missing @);
+    ours must actually serve Prometheus text."""
+    client, _, _ = serving_stack
+    resp = client.get("/metrics")
+    assert resp.status_code == 200
+    assert "rag_queue_size" in resp.text
+    assert "rag_queue_wait_time" in resp.text
+
+
+def test_failed_batch_fans_out_errors(engine):
+    """Engine failure must store an error result for every request in the
+    batch (reference bp.py:118-125)."""
+    queue = RequestQueue(max_batch_size=4, max_wait_time=0.1)
+
+    class BrokenEngine:
+        def process(self, queries, ks):
+            raise RuntimeError("boom")
+
+    proc = BatchProcessor(queue, BrokenEngine(), polling_interval=0.02)
+    proc.start()
+    rid = queue.add_request("will fail", 2)
+    res = queue.get_result(rid, timeout=10)
+    proc.stop()
+    assert res is not None
+    assert res["status"] == "failed" and "boom" in res["error"]
