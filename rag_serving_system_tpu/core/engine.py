@@ -110,6 +110,11 @@ class RagEngine:
 
         # corpus on device, normalized once
         emb = np.asarray(doc_embeddings, dtype=np.float32)
+        if emb.ndim != 2 or emb.shape[1] != self.enc_cfg.hidden_size:
+            raise ValueError(
+                f"corpus embeddings {emb.shape} do not match encoder hidden size "
+                f"{self.enc_cfg.hidden_size} (model_preset={settings.model_preset!r}; "
+                f"rebuild data with scripts/fact_dataset.py under the same preset)")
         emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         self.n_docs = emb.shape[0]
         self.mesh = mesh
