@@ -55,7 +55,7 @@ def main() -> None:
         model_preset="tiny" if mode == "tiny" else "full",
         batch_buckets=[batch],
         encode_len_buckets=[32],
-        prompt_len_buckets=[128],
+        prompt_len_buckets=[64, 96, 128],
         max_new_tokens=10,
         max_k=16,
         max_batch_size=batch,

@@ -13,6 +13,7 @@ TPU-era differences:
 from __future__ import annotations
 
 import logging
+import queue
 import threading
 import time
 
@@ -22,27 +23,54 @@ logger = logging.getLogger(__name__)
 
 
 class BatchProcessor(threading.Thread):
+    """Two-stage pipeline: a prefetcher thread forms batches from the queue
+    while the device crunches the current one, so the get_batch wait
+    (MAX_WAIT_TIME) overlaps TPU compute instead of stalling it."""
+
     def __init__(self, request_queue, engine: RagEngine,
-                 polling_interval: float = 0.3):
+                 polling_interval: float = 0.3, prefetch: bool = True):
         super().__init__(daemon=True)
         self.request_queue = request_queue
         self.engine = engine
         self.polling_interval = polling_interval
+        self.prefetch = prefetch
         self.running = False
         # rolling stats for observability
         self.batches_processed = 0
         self.requests_processed = 0
         self.last_batch_seconds = 0.0
 
-    def run(self) -> None:
-        self.running = True
-        logger.info("BatchProcessor started.")
+    def _prefetch_loop(self, ready: "queue.Queue") -> None:
         while self.running:
             try:
                 batch = self.request_queue.get_batch()
-                if not batch:
+                if batch:
+                    ready.put(batch)  # bounded: blocks when one batch is ready
+                else:
                     time.sleep(self.polling_interval)
-                    continue
+            except Exception:
+                logger.exception("prefetch loop error")
+                time.sleep(self.polling_interval)
+
+    def run(self) -> None:
+        self.running = True
+        logger.info("BatchProcessor started (prefetch=%s).", self.prefetch)
+        ready: "queue.Queue[list]" = queue.Queue(maxsize=1)
+        if self.prefetch:
+            threading.Thread(target=self._prefetch_loop, args=(ready,),
+                             daemon=True).start()
+        while self.running:
+            try:
+                if self.prefetch:
+                    try:
+                        batch = ready.get(timeout=self.polling_interval)
+                    except queue.Empty:
+                        continue
+                else:
+                    batch = self.request_queue.get_batch()
+                    if not batch:
+                        time.sleep(self.polling_interval)
+                        continue
                 t0 = time.time()
                 self._process_batch(batch)
                 self.last_batch_seconds = time.time() - t0

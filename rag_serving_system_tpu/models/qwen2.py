@@ -42,8 +42,10 @@ from rag_serving_system_tpu.models.layers import (
 
 
 class KVCache(NamedTuple):
-    k: jax.Array  # (num_layers, B, T_max, Hk, D)
-    v: jax.Array  # (num_layers, B, T_max, Hk, D)
+    # per-layer tuples of (B, T_max, Hk, D); a pytree carry, so lax.scan can
+    # donate/alias buffers instead of restacking the whole cache every step
+    k: tuple
+    v: tuple
 
 
 def _qkv(params, cfg, x, b, s):
@@ -102,7 +104,7 @@ def prefill(
         vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
 
     logits = logits_from_hidden(params, cfg, x[:, -1, :])
-    cache = KVCache(k=jnp.stack(ks), v=jnp.stack(vs))
+    cache = KVCache(k=tuple(ks), v=tuple(vs))
     return logits, cache
 
 
@@ -119,7 +121,7 @@ def decode_step(
     """One token for every sequence in the batch. Returns ((B, V) f32 logits,
     updated cache)."""
     b = token.shape[0]
-    t_max = cache.k.shape[2]
+    t_max = cache.k[0].shape[1]
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     n_real = jnp.sum(prompt_mask, axis=-1)          # (B,)
     positions = (n_real + step)[:, None]            # (B, 1)
@@ -142,9 +144,9 @@ def decode_step(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         k_cache = jax.lax.dynamic_update_slice(
-            cache.k[li], k.astype(cache.k.dtype), (0, write_at, 0, 0))
+            cache.k[li], k.astype(cache.k[li].dtype), (0, write_at, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(
-            cache.v[li], v.astype(cache.v.dtype), (0, write_at, 0, 0))
+            cache.v[li], v.astype(cache.v[li].dtype), (0, write_at, 0, 0))
         new_k.append(k_cache)
         new_v.append(v_cache)
         a = attention(q, k_cache.astype(dtype), v_cache.astype(dtype), bias)
@@ -154,7 +156,7 @@ def decode_step(
         x = x + _mlp(layer, h)
 
     logits = logits_from_hidden(params, cfg, x[:, 0, :])
-    return logits, KVCache(k=jnp.stack(new_k), v=jnp.stack(new_v))
+    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
 
 
 def sample_token(
@@ -164,20 +166,20 @@ def sample_token(
     top_k: int = 20,
     top_p: float = 0.8,
 ) -> jax.Array:
-    """Qwen2.5-Instruct default sampling: temperature + top-k + nucleus."""
-    logits = logits / jnp.float32(max(temperature, 1e-5))
-    # top-k filter
-    kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
-    logits = jnp.where(logits < kth, NEG_INF, logits)
-    # nucleus (top-p) filter over the surviving top-k set
-    sorted_logits = jax.lax.top_k(logits, top_k)[0]
-    probs = jax.nn.softmax(sorted_logits, axis=-1)
+    """Qwen2.5-Instruct default sampling: temperature + top-k + nucleus.
+
+    Runs entirely in the (B, top_k) candidate space: one vocab-wide top_k,
+    then temperature/top-p/categorical over K values, then an index map back
+    — avoids a second 150k-wide pass and a full-vocab gumbel."""
+    vals, idx = jax.lax.top_k(logits, top_k)                 # (B, K) desc
+    vals = vals / jnp.float32(max(temperature, 1e-5))
+    probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    # smallest set with cumulative prob >= top_p: keep while cum - p < p_i
+    # smallest prefix with cumulative prob >= top_p (always keeps the argmax)
     keep = cum - probs < top_p
-    cutoff = jnp.min(jnp.where(keep, sorted_logits, jnp.inf), axis=-1, keepdims=True)
-    logits = jnp.where(logits < cutoff, NEG_INF, logits)
-    return jax.random.categorical(rng, logits, axis=-1)
+    vals = jnp.where(keep, vals, NEG_INF)
+    choice = jax.random.categorical(rng, vals, axis=-1)      # (B,) in [0, K)
+    return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
 
 
 @functools.partial(
