@@ -71,6 +71,17 @@ def _encode_compiled(params, cfg, ids, mask, dtype):
     return encode(params, cfg, ids, mask, pooling="mean_all", dtype=dtype)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "dtype", "k", "use_pallas"))
+def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dtype):
+    """Single-dispatch fused embed→top-k (single-device path): the query
+    embeddings never exist outside the XLA program."""
+    emb = encode(params, cfg, ids, mask, pooling="mean_all", dtype=dtype)
+    if use_pallas:
+        return cosine_topk_pallas(corpus, emb, k)
+    return cosine_topk_reference(corpus, emb, k)
+
+
 class RagEngine:
     """Owns models, tokenizers, the device-resident corpus, and the compiled
     pipeline functions."""
@@ -153,13 +164,19 @@ class RagEngine:
         # fully padded rows would make the unmasked mean degenerate; give the
         # pad rows one real token so the forward is well-defined (discarded)
         mask[len(queries):, 0] = 1
-        q_emb = self._embed_jit(jnp.asarray(ids), jnp.asarray(mask))
         ks = [max(1, min(int(k), self.n_docs)) for k in ks]
         # fixed compiled k (reference's fixed-max_k trick, retriever.py:744-769);
         # k beyond max_k triggers a rare recompile rather than failing
         kmax = max(ks)
         k = self.max_k if kmax <= self.max_k else kmax
-        _, idx = self._topk(q_emb, k)
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            q_emb = self._embed_jit(jnp.asarray(ids), jnp.asarray(mask))
+            _, idx = self._topk(q_emb, k)
+        else:
+            # single fused dispatch: encode + top-k in one XLA program
+            _, idx = _encode_retrieve_compiled(
+                self.enc_params, self.enc_cfg, jnp.asarray(ids),
+                jnp.asarray(mask), self.corpus, k, self.use_pallas, self.dtype)
         idx = np.asarray(idx)  # single device→host transfer
         return [list(map(int, idx[i, :ks[i]])) for i in range(len(queries))]
 

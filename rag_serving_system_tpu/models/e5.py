@@ -11,9 +11,10 @@ Replaces the reference's torch `AutoModel` forward + mean-pool embedding stage
 - Queries are prefixed "query: " and passages "passage: " at tokenize time by
   the callers (batch_processor.py:83, scripts/fact_dataset.py:189).
 
-Params pytree layout (per layer, dense weights stored (in, out)):
+Params pytree layout (per layer, dense weights stored (in, out); QKV fused
+into one (H, 3H) matmul — one big MXU op instead of three smaller dispatches):
   {"embed": {"word", "pos", "type", "ln_scale", "ln_bias"},
-   "layers": [{"q_w","q_b","k_w","k_b","v_w","v_b","o_w","o_b",
+   "layers": [{"qkv_w","qkv_b","o_w","o_b",
                "attn_ln_scale","attn_ln_bias",
                "ff_w1","ff_b1","ff_w2","ff_b2","ff_ln_scale","ff_ln_bias"}...]}
 """
@@ -63,9 +64,11 @@ def encoder_forward(
     h, d = cfg.num_heads, cfg.head_dim
 
     for layer in params["layers"]:
-        q = dense(x, layer["q_w"], layer["q_b"]).reshape(b, l, h, d)
-        k = dense(x, layer["k_w"], layer["k_b"]).reshape(b, l, h, d)
-        v = dense(x, layer["v_w"], layer["v_b"]).reshape(b, l, h, d)
+        hd = h * d
+        qkv = dense(x, layer["qkv_w"], layer["qkv_b"])
+        q = qkv[..., :hd].reshape(b, l, h, d)
+        k = qkv[..., hd:2 * hd].reshape(b, l, h, d)
+        v = qkv[..., 2 * hd:].reshape(b, l, h, d)
         a = attention(q, k, v, bias).reshape(b, l, h * d)
         a = dense(a, layer["o_w"], layer["o_b"])
         x = layer_norm(x + a, layer["attn_ln_scale"], layer["attn_ln_bias"],

@@ -13,10 +13,11 @@ Replaces the reference's HF text-generation pipeline stage
 - Left padding means real tokens are right-aligned, so generated tokens are
   contiguous after the prompt: cache writes are static-offset dynamic slices.
 
-Params pytree layout (dense weights stored (in, out)):
+Params pytree layout (dense weights stored (in, out); QKV fused into one
+(H, Hq*D + 2*Hk*D) matmul and gate+up into one (H, 2F) matmul — fewer,
+larger MXU ops):
   {"embed": (V, H),
-   "layers": [{"ln1", "q_w","q_b","k_w","k_b","v_w","v_b","o_w",
-               "ln2", "gate_w","up_w","down_w"}...],
+   "layers": [{"ln1", "qkv_w","qkv_b","o_w", "ln2", "gu_w","down_w"}...],
    "ln_f": (H,), "lm_head": (H, V) — omitted when tied (lm_head = embed.T)}
 """
 
@@ -49,15 +50,19 @@ class KVCache(NamedTuple):
 
 
 def _qkv(params, cfg, x, b, s):
-    q = dense(x, params["q_w"], params["q_b"]).reshape(b, s, cfg.num_heads, cfg.head_dim)
-    k = dense(x, params["k_w"], params["k_b"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
-    v = dense(x, params["v_w"], params["v_b"]).reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    qkv = dense(x, params["qkv_w"], params["qkv_b"])
+    q = qkv[..., :qd].reshape(b, s, cfg.num_heads, cfg.head_dim)
+    k = qkv[..., qd:qd + kvd].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
+    v = qkv[..., qd + kvd:].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
 def _mlp(params, x):
-    return dense(silu(dense(x, params["gate_w"])) * dense(x, params["up_w"]),
-                 params["down_w"])
+    gu = dense(x, params["gu_w"])
+    f = gu.shape[-1] // 2
+    return dense(silu(gu[..., :f]) * gu[..., f:], params["down_w"])
 
 
 def logits_from_hidden(params: dict, cfg: DecoderConfig, x: jax.Array) -> jax.Array:

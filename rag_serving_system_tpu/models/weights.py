@@ -54,18 +54,14 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -
         "layers": [],
     }
     stacks = {
-        "q_w": _stacked(next(keys), L, (h, h), dtype),
-        "k_w": _stacked(next(keys), L, (h, h), dtype),
-        "v_w": _stacked(next(keys), L, (h, h), dtype),
+        "qkv_w": _stacked(next(keys), L, (h, 3 * h), dtype),
         "o_w": _stacked(next(keys), L, (h, h), dtype),
         "ff_w1": _stacked(next(keys), L, (h, ff), dtype),
         "ff_w2": _stacked(next(keys), L, (ff, h), dtype),
     }
     for i in range(L):
         params["layers"].append({
-            "q_w": stacks["q_w"][i], "q_b": jnp.zeros((h,), dtype),
-            "k_w": stacks["k_w"][i], "k_b": jnp.zeros((h,), dtype),
-            "v_w": stacks["v_w"][i], "v_b": jnp.zeros((h,), dtype),
+            "qkv_w": stacks["qkv_w"][i], "qkv_b": jnp.zeros((3 * h,), dtype),
             "o_w": stacks["o_w"][i], "o_b": jnp.zeros((h,), dtype),
             "attn_ln_scale": jnp.ones((h,), dtype),
             "attn_ln_bias": jnp.zeros((h,), dtype),
@@ -92,24 +88,19 @@ def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _trunc_normal(next(keys), (h, cfg.vocab_size), dtype=dtype)
     stacks = {
-        "q_w": _stacked(next(keys), L, (h, qd), dtype),
-        "k_w": _stacked(next(keys), L, (h, kvd), dtype),
-        "v_w": _stacked(next(keys), L, (h, kvd), dtype),
+        "qkv_w": _stacked(next(keys), L, (h, qd + 2 * kvd), dtype),
         "o_w": _stacked(next(keys), L, (qd, h), dtype),
-        "gate_w": _stacked(next(keys), L, (h, ff), dtype),
-        "up_w": _stacked(next(keys), L, (h, ff), dtype),
+        "gu_w": _stacked(next(keys), L, (h, 2 * ff), dtype),
         "down_w": _stacked(next(keys), L, (ff, h), dtype),
     }
     for i in range(L):
         params["layers"].append({
             "ln1": jnp.ones((h,), dtype),
-            "q_w": stacks["q_w"][i], "q_b": jnp.zeros((qd,), dtype),
-            "k_w": stacks["k_w"][i], "k_b": jnp.zeros((kvd,), dtype),
-            "v_w": stacks["v_w"][i], "v_b": jnp.zeros((kvd,), dtype),
+            "qkv_w": stacks["qkv_w"][i],
+            "qkv_b": jnp.zeros((qd + 2 * kvd,), dtype),
             "o_w": stacks["o_w"][i],
             "ln2": jnp.ones((h,), dtype),
-            "gate_w": stacks["gate_w"][i],
-            "up_w": stacks["up_w"][i],
+            "gu_w": stacks["gu_w"][i],
             "down_w": stacks["down_w"][i],
         })
     return params
@@ -164,12 +155,14 @@ def load_encoder_params(cfg: EncoderConfig, snapshot_dir: str, dtype=jnp.bfloat1
     for i in range(cfg.num_layers):
         p = f"encoder.layer.{i}."
         params["layers"].append({
-            "q_w": W(p + "attention.self.query.weight"),
-            "q_b": A(p + "attention.self.query.bias"),
-            "k_w": W(p + "attention.self.key.weight"),
-            "k_b": A(p + "attention.self.key.bias"),
-            "v_w": W(p + "attention.self.value.weight"),
-            "v_b": A(p + "attention.self.value.bias"),
+            "qkv_w": jnp.concatenate([
+                W(p + "attention.self.query.weight"),
+                W(p + "attention.self.key.weight"),
+                W(p + "attention.self.value.weight")], axis=1),
+            "qkv_b": jnp.concatenate([
+                A(p + "attention.self.query.bias"),
+                A(p + "attention.self.key.bias"),
+                A(p + "attention.self.value.bias")], axis=0),
             "o_w": W(p + "attention.output.dense.weight"),
             "o_b": A(p + "attention.output.dense.bias"),
             "attn_ln_scale": A(p + "attention.output.LayerNorm.weight"),
@@ -205,16 +198,19 @@ def load_decoder_params(cfg: DecoderConfig, snapshot_dir: str, dtype=jnp.bfloat1
         p = f"model.layers.{i}."
         params["layers"].append({
             "ln1": A(p + "input_layernorm.weight"),
-            "q_w": W(p + "self_attn.q_proj.weight"),
-            "q_b": A(p + "self_attn.q_proj.bias"),
-            "k_w": W(p + "self_attn.k_proj.weight"),
-            "k_b": A(p + "self_attn.k_proj.bias"),
-            "v_w": W(p + "self_attn.v_proj.weight"),
-            "v_b": A(p + "self_attn.v_proj.bias"),
+            "qkv_w": jnp.concatenate([
+                W(p + "self_attn.q_proj.weight"),
+                W(p + "self_attn.k_proj.weight"),
+                W(p + "self_attn.v_proj.weight")], axis=1),
+            "qkv_b": jnp.concatenate([
+                A(p + "self_attn.q_proj.bias"),
+                A(p + "self_attn.k_proj.bias"),
+                A(p + "self_attn.v_proj.bias")], axis=0),
             "o_w": W(p + "self_attn.o_proj.weight"),
             "ln2": A(p + "post_attention_layernorm.weight"),
-            "gate_w": W(p + "mlp.gate_proj.weight"),
-            "up_w": W(p + "mlp.up_proj.weight"),
+            "gu_w": jnp.concatenate([
+                W(p + "mlp.gate_proj.weight"),
+                W(p + "mlp.up_proj.weight")], axis=1),
             "down_w": W(p + "mlp.down_proj.weight"),
         })
     return params

@@ -18,10 +18,12 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# key name → PartitionSpec for 2-D weights (None entries replicate)
-_COL = {"q_w", "k_w", "v_w", "ff_w1", "gate_w", "up_w"}
+# key name → PartitionSpec for 2-D weights (None entries replicate).
+# Fused tensors (qkv_w, gu_w) shard their output dim; GSPMD re-shards the
+# post-split activations as needed.
+_COL = {"qkv_w", "ff_w1", "gu_w"}
 _ROW = {"o_w", "ff_w2", "down_w"}
-_COL_BIAS = {"q_b", "k_b", "v_b", "ff_b1"}
+_COL_BIAS = {"qkv_b", "ff_b1"}
 
 
 def _spec_for(key: str, ndim: int) -> P:
