@@ -91,16 +91,29 @@ def main() -> None:
     t0 = time.time()
     engine.process(queries, ks)  # warm
     warm = time.time() - t0
-    print(f"[bench] warm batch {warm:.3f}s", file=sys.stderr)
+    print(f"[bench] warm batch (engine serial) {warm:.3f}s", file=sys.stderr)
 
+    # measure through the real serving loop: queue -> pipelined BatchProcessor
+    # (stage-1 embed/retrieve/prompt-build overlaps stage-2 generation)
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+
+    rq = RequestQueue(max_batch_size=batch, max_wait_time=0.5,
+                      polling_interval=0.002)
+    processor = BatchProcessor(rq, engine, polling_interval=0.002)
+    processor.start()
+
+    total = batch * n_batches
     t0 = time.time()
-    for i in range(n_batches):
-        # vary query text so host-side work is realistic (shapes stay fixed)
-        qs = [f"What is the measured property number {i * batch + j} right now?"
-              for j in range(batch)]
-        engine.process(qs, ks)
+    rids = [rq.add_request(
+        f"What is the measured property number {j} right now?", 2)
+        for j in range(total)]
+    for rid in rids:
+        res = rq.get_result(rid, timeout=600)
+        assert res is not None, "request timed out"
     elapsed = time.time() - t0
-    rps = batch * n_batches / elapsed
+    processor.stop()
+    rps = total / elapsed
 
     print(json.dumps({
         "metric": "rag_e2e_throughput_b32",

@@ -41,13 +41,26 @@ class BatchProcessor(threading.Thread):
         self.last_batch_seconds = 0.0
 
     def _prefetch_loop(self, ready: "queue.Queue") -> None:
+        """Form the next batch AND run pipeline stage 1 (embed + retrieve +
+        prompt build) while the main thread generates the current batch.
+        On a single device the XLA programs still serialize, but all host
+        work, dispatch latency, and the get_batch wait hide under decode."""
         while self.running:
             try:
                 batch = self.request_queue.get_batch()
-                if batch:
-                    ready.put(batch)  # bounded: blocks when one batch is ready
-                else:
+                if not batch:
                     time.sleep(self.polling_interval)
+                    continue
+                try:
+                    queries = [req["query"] for req in batch]
+                    ks = [req.get("k", 2) for req in batch]
+                    prompts = self.engine.prepare(queries, ks)
+                    ready.put((batch, prompts))  # bounded: blocks at 1 in flight
+                except Exception as e:
+                    logger.exception("stage-1 error; failing batch")
+                    for req in batch:
+                        self.request_queue.store_result(
+                            req["id"], {"error": str(e), "status": "failed"})
             except Exception:
                 logger.exception("prefetch loop error")
                 time.sleep(self.polling_interval)
@@ -61,18 +74,19 @@ class BatchProcessor(threading.Thread):
                              daemon=True).start()
         while self.running:
             try:
+                t0 = time.time()
                 if self.prefetch:
                     try:
-                        batch = ready.get(timeout=self.polling_interval)
+                        batch, prompts = ready.get(timeout=self.polling_interval)
                     except queue.Empty:
                         continue
+                    self._generate_and_store(batch, prompts)
                 else:
                     batch = self.request_queue.get_batch()
                     if not batch:
                         time.sleep(self.polling_interval)
                         continue
-                t0 = time.time()
-                self._process_batch(batch)
+                    self._process_batch(batch)
                 self.last_batch_seconds = time.time() - t0
                 self.batches_processed += 1
                 self.requests_processed += len(batch)
@@ -81,6 +95,22 @@ class BatchProcessor(threading.Thread):
             except Exception:  # keep serving no matter what (reference bp.py:68)
                 logger.exception("batch loop error")
         logger.info("BatchProcessor stopped.")
+
+    def _generate_and_store(self, batch: list, prompts: list) -> None:
+        """Pipeline stage 2: generation + result delivery."""
+        request_ids = [req["id"] for req in batch]
+        try:
+            answers = self.engine.generate_answers(prompts)
+            for rid, ans in zip(request_ids, answers):
+                try:
+                    self.request_queue.store_result(rid, {"result": ans})
+                except Exception as e:
+                    logger.error("error storing result for %s: %s", rid, e)
+        except Exception as e:
+            logger.exception("stage-2 error for batch %s", request_ids)
+            for rid in request_ids:
+                self.request_queue.store_result(
+                    rid, {"error": str(e), "status": "failed"})
 
     def _process_batch(self, batch: list) -> None:
         request_ids = [req["id"] for req in batch]

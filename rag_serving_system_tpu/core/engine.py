@@ -214,14 +214,20 @@ class RagEngine:
     # full pipeline
     # ------------------------------------------------------------------
 
+    def prepare(self, queries: List[str], ks: List[int]) -> List[str]:
+        """Stage 1: embed + retrieve + prompt build. Separated from stage 2 so
+        the batch processor can overlap it with the previous batch's
+        generation (host work + retrieval dispatch hide under decode)."""
+        doc_idx = self.embed_and_retrieve(queries, ks)
+        contexts = [DOC_JOIN.join(self.documents[i] for i in row) for row in doc_idx]
+        return [PROMPT_TEMPLATE.format(context=c, question=q)
+                for q, c in zip(queries, contexts)]
+
     def process(self, queries: List[str], ks: List[int]) -> List[dict]:
         """Full RAG for a batch. Returns per-request result dicts."""
         t0 = time.time()
-        doc_idx = self.embed_and_retrieve(queries, ks)
+        prompts = self.prepare(queries, ks)
         t1 = time.time()
-        contexts = [DOC_JOIN.join(self.documents[i] for i in row) for row in doc_idx]
-        prompts = [PROMPT_TEMPLATE.format(context=c, question=q)
-                   for q, c in zip(queries, contexts)]
         answers = self.generate_answers(prompts)
         t2 = time.time()
         logger.info("batch=%d embed+retrieve=%.3fs generate=%.3fs",

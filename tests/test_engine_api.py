@@ -149,6 +149,12 @@ def test_failed_batch_fans_out_errors(engine):
     queue = RequestQueue(max_batch_size=4, max_wait_time=0.1)
 
     class BrokenEngine:
+        def prepare(self, queries, ks):
+            raise RuntimeError("boom")
+
+        def generate_answers(self, prompts):
+            raise RuntimeError("boom")
+
         def process(self, queries, ks):
             raise RuntimeError("boom")
 
