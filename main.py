@@ -61,7 +61,8 @@ def build_app(settings=None, warmup: bool = True):
                                polling_interval=min(settings.polling_interval, 0.05))
     processor.start()
 
-    app = create_api(request_queue, processor)
+    app = create_api(request_queue, processor, engine,
+                     max_queue_size=int(os.environ.get("MAX_QUEUE_SIZE", "0")))
     return app, processor, engine, settings
 
 

@@ -25,7 +25,11 @@ from pydantic import ValidationError
 from rag_serving_system_tpu.api.models import QueryRequest
 
 
-def create_api(request_queue, processor=None) -> web.Application:
+def create_api(request_queue, processor=None, engine=None,
+               max_queue_size: int = 0) -> web.Application:
+    """max_queue_size > 0 enables backpressure: POST /rag returns 503 once the
+    queue holds that many requests (the reference accepts unboundedly and lets
+    latency blow past the client timeout instead)."""
     app = web.Application()
     registry = CollectorRegistry()
     queue_size_g = Gauge("rag_queue_size", "Number of requests in queue",
@@ -36,6 +40,11 @@ def create_api(request_queue, processor=None) -> web.Application:
                             registry=registry)
     requests_total_c = Counter("rag_requests_total", "Requests accepted",
                                registry=registry)
+    rejected_total_c = Counter("rag_requests_rejected_total",
+                               "Requests rejected by backpressure",
+                               registry=registry)
+    stage_g = Gauge("rag_stage_seconds", "Mean seconds per pipeline stage",
+                    ["stage"], registry=registry)
 
     async def rag_endpoint(request: web.Request) -> web.Response:
         try:
@@ -43,6 +52,10 @@ def create_api(request_queue, processor=None) -> web.Application:
         except (ValidationError, ValueError) as e:
             detail = e.errors() if isinstance(e, ValidationError) else str(e)
             return web.json_response({"detail": detail}, status=422)
+        if max_queue_size and request_queue.queue_size() >= max_queue_size:
+            rejected_total_c.inc()
+            return web.json_response(
+                {"detail": "queue full", "status": "rejected"}, status=503)
         request_id = request_queue.add_request(payload.query, payload.k)
         requests_total_c.inc()
         return web.json_response({"request_id": request_id, "status": "processing"})
@@ -65,13 +78,31 @@ def create_api(request_queue, processor=None) -> web.Application:
         queue_wait_g.set(request_queue.oldest_wait_time())
         if processor is not None:
             batch_seconds_g.set(processor.last_batch_seconds)
+        if engine is not None:
+            for stage, s in engine.timer.summary().items():
+                stage_g.labels(stage=stage).set(s["mean_s"])
         return web.Response(body=generate_latest(registry),
                             content_type="text/plain")
+
+    async def stats(_: web.Request) -> web.Response:
+        """Structured serving stats (stage timings, batch counters)."""
+        body = {
+            "queue_size": request_queue.queue_size(),
+            "queue_wait_s": request_queue.oldest_wait_time(),
+        }
+        if processor is not None:
+            body["batches_processed"] = processor.batches_processed
+            body["requests_processed"] = processor.requests_processed
+            body["last_batch_seconds"] = processor.last_batch_seconds
+        if engine is not None:
+            body["stages"] = engine.timer.summary()
+        return web.json_response(body)
 
     app.router.add_post("/rag", rag_endpoint)
     app.router.add_get("/rag/result/{request_id}", get_result)
     app.router.add_get("/health", health_check)
     app.router.add_get("/metrics", metrics)
+    app.router.add_get("/stats", stats)
     return app
 
 

@@ -51,6 +51,7 @@ from rag_serving_system_tpu.models.weights import get_decoder_params, get_encode
 from rag_serving_system_tpu.ops.topk import cosine_topk_pallas, cosine_topk_reference
 from rag_serving_system_tpu.parallel.mesh import make_mesh
 from rag_serving_system_tpu.parallel.sharded_topk import shard_corpus, sharded_cosine_topk
+from rag_serving_system_tpu.utils.timing import StageTimer
 
 logger = logging.getLogger(__name__)
 
@@ -137,6 +138,7 @@ class RagEngine:
         self.use_pallas = jax.default_backend() == "tpu"
         self.max_k = min(settings.max_k, self.n_docs)
         self._rng = jax.random.PRNGKey(0)
+        self.timer = StageTimer()
 
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
@@ -191,6 +193,10 @@ class RagEngine:
     def generate_answers(self, prompts: List[str]) -> List[str]:
         if not prompts:
             return []
+        with self.timer.stage("generate"):
+            return self._generate_answers(prompts)
+
+    def _generate_answers(self, prompts: List[str]) -> List[str]:
         bsz = pick_bucket(self.settings.batch_buckets, len(prompts))
         padded = prompts + [""] * (bsz - len(prompts))
         longest = max(len(self.dec_tok.encode(t)) for t in prompts)
@@ -218,10 +224,12 @@ class RagEngine:
         """Stage 1: embed + retrieve + prompt build. Separated from stage 2 so
         the batch processor can overlap it with the previous batch's
         generation (host work + retrieval dispatch hide under decode)."""
-        doc_idx = self.embed_and_retrieve(queries, ks)
-        contexts = [DOC_JOIN.join(self.documents[i] for i in row) for row in doc_idx]
-        return [PROMPT_TEMPLATE.format(context=c, question=q)
-                for q, c in zip(queries, contexts)]
+        with self.timer.stage("embed_retrieve"):
+            doc_idx = self.embed_and_retrieve(queries, ks)
+            contexts = [DOC_JOIN.join(self.documents[i] for i in row)
+                        for row in doc_idx]
+            return [PROMPT_TEMPLATE.format(context=c, question=q)
+                    for q, c in zip(queries, contexts)]
 
     def process(self, queries: List[str], ks: List[int]) -> List[dict]:
         """Full RAG for a batch. Returns per-request result dicts."""

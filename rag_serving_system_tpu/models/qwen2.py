@@ -92,7 +92,13 @@ def prefill(
     positions = jnp.maximum(positions, 0)
 
     x = jnp.take(params["embed"], input_ids, axis=0).astype(dtype)
-    bias = causal_padding_bias(attention_mask)
+
+    # Pallas flash attention for long prompt buckets on TPU: the XLA einsum
+    # path materializes a (B, Hk, G, P, P) f32 score tensor in HBM; flash
+    # streams key/value blocks through VMEM with online softmax.
+    use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 256 == 0
+                 and cfg.head_dim % 128 == 0)
+    bias = None if use_flash else causal_padding_bias(attention_mask)
 
     ks, vs = [], []
     for layer in params["layers"]:
@@ -100,7 +106,12 @@ def prefill(
         q, k, v = _qkv(layer, cfg, h, b, p)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        a = attention(q, k, v, bias).reshape(b, p, cfg.num_heads * cfg.head_dim)
+        if use_flash:
+            from rag_serving_system_tpu.ops.attention import flash_attention
+            a = flash_attention(q, k, v, attention_mask, causal=True)
+        else:
+            a = attention(q, k, v, bias)
+        a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
         x = x + dense(a, layer["o_w"])
         h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
@@ -205,10 +216,12 @@ def generate(
     do_sample: bool = True,
     dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Prefill + scan decode. Returns (B, max_new_tokens) int32 generated ids.
+    """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
-    Past-EOS positions are filled with pad_token_id (host strips them when
-    decoding to text); compute proceeds at fixed shape — the XLA way.
+    Fixed output shape (the XLA way): past-EOS positions are pad_token_id and
+    the host strips them — but the loop EXITS as soon as every sequence in
+    the batch has emitted EOS, so short answers don't pay for max_new_tokens
+    (the reference's HF pipeline decodes all 10 tokens unconditionally).
     """
     b, p = input_ids.shape
     logits0, cache = prefill(params, cfg, input_ids, attention_mask,
@@ -219,22 +232,30 @@ def generate(
             return sample_token(logits, rng, temperature, top_k, top_p)
         return jnp.argmax(logits, axis=-1)
 
-    rngs = jax.random.split(rng, max_new_tokens)
-    tok0 = pick(logits0, rngs[0]).astype(jnp.int32)
+    rng, rng0 = jax.random.split(rng)
+    tok0 = pick(logits0, rng0).astype(jnp.int32)
     done0 = tok0 == cfg.eos_token_id
+    out0 = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
 
-    def body(carry, xs):
-        tok, done, cache = carry
-        step, step_rng = xs
+    if max_new_tokens == 1:
+        return out0
+
+    def cond(carry):
+        step, _, done, _, _, _ = carry
+        return (step < max_new_tokens - 1) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        step, tok, done, cache, rng, out = carry
+        rng, step_rng = jax.random.split(rng)
         logits, cache = decode_step(params, cfg, cache, tok, step, p,
                                     attention_mask, dtype=dtype)
         nxt = pick(logits, step_rng).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(cfg.pad_token_id), nxt)
         done = done | (nxt == cfg.eos_token_id)
-        return (nxt, done, cache), nxt
+        out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step + 1))
+        return (step + 1, nxt, done, cache, rng, out)
 
-    if max_new_tokens == 1:
-        return tok0[:, None]
-    steps = jnp.arange(max_new_tokens - 1, dtype=jnp.int32)
-    (_, _, _), rest = jax.lax.scan(body, (tok0, done0, cache), (steps, rngs[1:]))
-    return jnp.concatenate([tok0[:, None], rest.T], axis=1)
+    init = (jnp.int32(0), tok0, done0, cache, rng, out0)
+    _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out

@@ -36,13 +36,34 @@ class HashTokenizer:
         self.pad_id = pad_id
         self._reserved = 10
         self._word_re = re.compile(r"\w+|[^\w\s]")
+        # native (C) fast path for ASCII strings — exact blake2b parity,
+        # ~10x faster tokenize+hash, GIL released during the call
+        from rag_serving_system_tpu.native import get_hashtok_lib
+        self._lib = get_hashtok_lib()
 
     def _tok2id(self, tok: str) -> int:
         h = int.from_bytes(hashlib.blake2b(tok.encode("utf-8"), digest_size=4).digest(), "little")
         return self._reserved + (h % (self.vocab_size - self._reserved))
 
-    def encode(self, text: str) -> List[int]:
+    def _encode_py(self, text: str) -> List[int]:
         return [self.bos_id] + [self._tok2id(t) for t in self._word_re.findall(text)] + [self.eos_id]
+
+    def encode(self, text: str) -> List[int]:
+        if self._lib is not None:
+            try:
+                raw = text.encode("ascii")
+            except UnicodeEncodeError:
+                return self._encode_py(text)  # non-ASCII: exact Python path
+            import ctypes
+
+            cap = len(raw) + 2  # bos + at most one token per byte... tokens <= bytes
+            out = (ctypes.c_int32 * cap)()
+            n = self._lib.hashtok_encode(
+                raw, len(raw), out, cap, self.vocab_size, self._reserved,
+                self.bos_id, self.eos_id)
+            if n >= 0:
+                return list(out[:n])
+        return self._encode_py(text)
 
     def decode(self, ids) -> str:
         # lossy: hashing is one-way; emit token placeholders

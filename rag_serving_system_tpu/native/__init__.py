@@ -1,0 +1,48 @@
+"""Native (C) host-path components, loaded via ctypes with pure-Python
+fallbacks. Build with native/build.sh (attempted automatically on first
+import)."""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+
+logger = logging.getLogger(__name__)
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "libhashtok.so")
+_lib = None
+_build_attempted = False
+
+
+def get_hashtok_lib():
+    """Load (building if needed) the native tokenizer library; None if
+    unavailable — callers fall back to pure Python."""
+    global _lib, _build_attempted
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and not _build_attempted:
+        _build_attempted = True
+        try:
+            subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
+                           capture_output=True, check=True, timeout=60)
+        except Exception as e:
+            logger.debug("native build unavailable: %s", e)
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        lib.hashtok_encode.restype = ctypes.c_int
+        lib.hashtok_encode.argtypes = [
+            ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+    except OSError as e:
+        logger.debug("native lib load failed: %s", e)
+        return None

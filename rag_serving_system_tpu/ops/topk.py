@@ -116,11 +116,17 @@ def _topk_kernel(q_ref, c_ref, scores_out, idx_out, run_s, run_i, *, k, block_n,
     # mask padded corpus rows (N rounded up to block multiple)
     s = jnp.where(gcol < valid_n, s, NEG_INF)
 
-    cand_s = jnp.concatenate([run_s[:], s], axis=1)
-    cand_i = jnp.concatenate([run_i[:], gcol], axis=1)
-    new_s, new_i = _select_topk_merge(cand_s, cand_i, k)
-    run_s[:] = new_s
-    run_i[:] = new_i
+    # Block skipping: the k-round selection loop only runs when this block
+    # could change ANY row's top-k (block max beats the weakest kth-best).
+    # For large corpora almost every block skips, so the kernel runs at
+    # corpus-streaming bandwidth; exactness is unaffected.
+    @pl.when(jnp.max(s) > jnp.min(run_s[:, k - 1]))
+    def _merge():
+        cand_s = jnp.concatenate([run_s[:], s], axis=1)
+        cand_i = jnp.concatenate([run_i[:], gcol], axis=1)
+        new_s, new_i = _select_topk_merge(cand_s, cand_i, k)
+        run_s[:] = new_s
+        run_i[:] = new_i
 
     @pl.when(step == nsteps - 1)
     def _emit():
@@ -146,7 +152,11 @@ def cosine_topk_pallas(
     q = _l2_normalize(queries).astype(jnp.float32)
     c32 = corpus.astype(jnp.float32)
 
-    block_n = min(block_n, _round_up(n, 128))
+    # VMEM budget: the corpus block is double-buffered by the pallas pipeline
+    # (2 * block_n * d * 4 bytes) and must leave room for q, scratch, and the
+    # (B, block_n) score tile — target ~2.5 MB per corpus block
+    vmem_block_cap = max(128, (2_500_000 // (4 * d)) // 128 * 128)
+    block_n = min(block_n, vmem_block_cap, _round_up(n, 128))
     n_pad = _round_up(n, block_n)
     if n_pad != n:
         c32 = jnp.pad(c32, ((0, n_pad - n), (0, 0)))

@@ -133,6 +133,30 @@ def test_api_rejects_malformed_body(serving_stack):
     assert client.post("/rag", json={"query": "x", "k": "lots"}).status_code == 422
 
 
+def test_api_stats_endpoint(serving_stack):
+    client, _, _ = serving_stack
+    body = client.get("/stats").json()
+    assert "queue_size" in body and "batches_processed" in body
+
+
+def test_api_backpressure_503():
+    """POST /rag must shed load with 503 once the queue is full."""
+    queue = RequestQueue(max_batch_size=4, max_wait_time=0.2)
+    # no processor draining — the queue just fills
+    app = create_api(queue, max_queue_size=3)
+    server = ServerThread(app).start()
+    try:
+        client = _Client(server.url)
+        codes = [client.post("/rag", json={"query": f"q{i}"}).status_code
+                 for i in range(5)]
+        assert codes[:3] == [200, 200, 200]
+        assert codes[3] == 503 and codes[4] == 503
+        # metrics reflect the rejections
+        assert "rag_requests_rejected_total 2.0" in client.get("/metrics").text
+    finally:
+        server.stop()
+
+
 def test_api_metrics_registered(serving_stack):
     """The reference's /metrics was dead code (endpoints.py:47 missing @);
     ours must actually serve Prometheus text."""
