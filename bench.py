@@ -27,8 +27,21 @@ import time
 BASELINE_RPS = 23.67  # reference README.md:3
 
 
-def build_corpus(n_docs: int, dim: int):
+def build_corpus(n_docs: int, dim: int, config: str = "short_facts"):
+    """Prefer the repo's real data artifacts; synthesize when absent or when
+    the embedding dim doesn't match the active model preset."""
+    import json
+
     import numpy as np
+
+    ctx_path = f"data/{config}_contexts.json"
+    emb_path = f"data/{config}_embeddings.npy"
+    if os.path.exists(ctx_path) and os.path.exists(emb_path):
+        with open(ctx_path) as f:
+            docs = json.load(f)
+        emb = np.load(emb_path)
+        if emb.shape[1] == dim:
+            return docs, emb
 
     subjects = ["water", "the sun", "gold", "oxygen", "the moon", "iron",
                 "light", "sound", "carbon", "helium"]
@@ -48,14 +61,16 @@ def main() -> None:
     from rag_serving_system_tpu.config import Settings
 
     mode = os.environ.get("BENCH_MODE", "full")
+    config = os.environ.get("BENCH_CONFIG", "short_facts")  # or "squad"
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
 
     settings = Settings(
         model_preset="tiny" if mode == "tiny" else "full",
         batch_buckets=[batch],
-        encode_len_buckets=[32],
-        prompt_len_buckets=[64, 96, 128],
+        encode_len_buckets=[32, 64],
+        prompt_len_buckets=[64, 96, 128] if config == "short_facts"
+        else [256, 512, 1024],
         max_new_tokens=10,
         max_k=16,
         max_batch_size=batch,
@@ -73,9 +88,11 @@ def main() -> None:
     from rag_serving_system_tpu.models.configs import encoder_config_for
 
     enc_cfg = encoder_config_for(settings.model_preset)
-    docs, emb = build_corpus(100, enc_cfg.hidden_size)
+    docs, emb = build_corpus(100 if config == "short_facts" else 1000,
+                             enc_cfg.hidden_size, config=config)
     print(f"[bench] backend={jax.default_backend()} devices={len(jax.devices())} "
-          f"mode={mode} batch={batch}", file=sys.stderr)
+          f"mode={mode} config={config} batch={batch} corpus={len(docs)}",
+          file=sys.stderr)
 
     t0 = time.time()
     engine = RagEngine(settings, docs, emb)
@@ -115,12 +132,25 @@ def main() -> None:
     processor.stop()
     rps = total / elapsed
 
-    print(json.dumps({
-        "metric": "rag_e2e_throughput_b32",
+    result = {
+        "metric": f"rag_e2e_throughput_b{batch}"
+                  + ("" if config == "short_facts" else f"_{config}"),
         "value": round(rps, 2),
         "unit": "req/s",
         "vs_baseline": round(rps / BASELINE_RPS, 2),
-    }))
+    }
+    print(json.dumps(result))
+    try:  # extended record for the perf log (headline line above is the contract)
+        details_path = os.environ.get("BENCH_DETAILS", "BENCH_DETAILS.json")
+        existing = {}
+        if os.path.exists(details_path):
+            with open(details_path) as f:
+                existing = json.load(f)
+        existing[result["metric"]] = result
+        with open(details_path, "w") as f:
+            json.dump(existing, f, indent=1)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

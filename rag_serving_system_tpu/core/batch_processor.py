@@ -35,6 +35,8 @@ class BatchProcessor(threading.Thread):
         self.polling_interval = polling_interval
         self.prefetch = prefetch
         self.running = False
+        self._busy = False
+        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=1)
         # rolling stats for observability
         self.batches_processed = 0
         self.requests_processed = 0
@@ -68,7 +70,7 @@ class BatchProcessor(threading.Thread):
     def run(self) -> None:
         self.running = True
         logger.info("BatchProcessor started (prefetch=%s).", self.prefetch)
-        ready: "queue.Queue[list]" = queue.Queue(maxsize=1)
+        ready = self._ready
         if self.prefetch:
             threading.Thread(target=self._prefetch_loop, args=(ready,),
                              daemon=True).start()
@@ -80,19 +82,23 @@ class BatchProcessor(threading.Thread):
                         batch, prompts = ready.get(timeout=self.polling_interval)
                     except queue.Empty:
                         continue
+                    self._busy = True
                     self._generate_and_store(batch, prompts)
                 else:
                     batch = self.request_queue.get_batch()
                     if not batch:
                         time.sleep(self.polling_interval)
                         continue
+                    self._busy = True
                     self._process_batch(batch)
+                self._busy = False
                 self.last_batch_seconds = time.time() - t0
                 self.batches_processed += 1
                 self.requests_processed += len(batch)
                 logger.info("processed batch of %d in %.3fs",
                             len(batch), self.last_batch_seconds)
             except Exception:  # keep serving no matter what (reference bp.py:68)
+                self._busy = False
                 logger.exception("batch loop error")
         logger.info("BatchProcessor stopped.")
 
@@ -129,5 +135,14 @@ class BatchProcessor(threading.Thread):
                 self.request_queue.store_result(
                     rid, {"error": str(e), "status": "failed"})
 
-    def stop(self) -> None:
+    def stop(self, drain_timeout: float = 0.0) -> None:
+        """Stop the loops. With drain_timeout > 0, wait up to that long for
+        already-dequeued work (the in-flight batch plus one prefetched batch)
+        to finish so accepted requests aren't lost. Items still sitting in
+        the request queue survive a restart under Redis — losing them in
+        in-memory mode is the same at-most-once tradeoff the reference's
+        BLPOP path has (SURVEY §5)."""
+        deadline = time.time() + drain_timeout
+        while time.time() < deadline and (self._busy or not self._ready.empty()):
+            time.sleep(0.02)
         self.running = False
