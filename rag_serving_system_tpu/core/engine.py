@@ -127,6 +127,14 @@ class RagEngine:
                 f"corpus embeddings {emb.shape} do not match encoder hidden size "
                 f"{self.enc_cfg.hidden_size} (model_preset={settings.model_preset!r}; "
                 f"rebuild data with scripts/fact_dataset.py under the same preset)")
+
+        if mesh is not None and mesh.devices.size > 1:
+            # multi-chip serving: megatron-style TP over the "model" axis for
+            # weights, batch dp over "data"; GSPMD inserts the collectives
+            from rag_serving_system_tpu.parallel.tp import shard_params
+
+            self.enc_params = shard_params(self.enc_params, mesh)
+            self.dec_params = shard_params(self.dec_params, mesh)
         emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
         self.n_docs = emb.shape[0]
         self.mesh = mesh
@@ -143,6 +151,18 @@ class RagEngine:
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
     # ------------------------------------------------------------------
+
+    def _put_batch(self, arr):
+        """Place a host batch on device; dp-sharded over the mesh "data" axis
+        when the batch divides evenly, replicated otherwise."""
+        arr = jnp.asarray(arr)
+        if self.mesh is None or self.mesh.devices.size == 1:
+            return arr
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = self.mesh.shape["data"]
+        spec = P("data", None) if arr.shape[0] % dp == 0 else P(None, None)
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _embed_jit(self, ids, mask):
         return _encode_compiled(self.enc_params, self.enc_cfg, ids, mask, self.dtype)
@@ -172,7 +192,7 @@ class RagEngine:
         kmax = max(ks)
         k = self.max_k if kmax <= self.max_k else kmax
         if self.mesh is not None and self.mesh.devices.size > 1:
-            q_emb = self._embed_jit(jnp.asarray(ids), jnp.asarray(mask))
+            q_emb = self._embed_jit(self._put_batch(ids), self._put_batch(mask))
             _, idx = self._topk(q_emb, k)
         else:
             # single fused dispatch: encode + top-k in one XLA program
@@ -205,7 +225,7 @@ class RagEngine:
         mask[len(prompts):, -1] = 1  # keep pad rows well-defined
         self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg,
-                        jnp.asarray(ids), jnp.asarray(mask), rng,
+                        self._put_batch(ids), self._put_batch(mask), rng,
                         max_new_tokens=self.settings.max_new_tokens,
                         do_sample=True, dtype=self.dtype)
         toks = np.asarray(toks)
