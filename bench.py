@@ -62,6 +62,9 @@ def main() -> None:
 
     mode = os.environ.get("BENCH_MODE", "full")
     config = os.environ.get("BENCH_CONFIG", "short_facts")  # or "squad"
+    # weight-only int8 decode is the production serving config (per-channel,
+    # near-lossless); override with QUANT_WEIGHTS=none for the bf16 number
+    os.environ.setdefault("QUANT_WEIGHTS", "int8")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
 

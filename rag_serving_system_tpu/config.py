@@ -74,6 +74,8 @@ class Settings:
     weights_dir: Optional[str] = field(default_factory=lambda: os.environ.get("WEIGHTS_DIR"))
     # model size preset for offline/random-init mode: 'full' | 'tiny'
     model_preset: str = field(default_factory=lambda: _env("MODEL_PRESET", "full"))
+    # weight-only quantization for the decoder: 'none' | 'int8'
+    quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
 
 
 def load_dotenv(path: str = ".env") -> None:

@@ -111,6 +111,12 @@ class RagEngine:
                     "hf" if enc_real else "random-init",
                     "hf" if dec_real else "random-init")
 
+        if settings.quant_weights == "int8":
+            from rag_serving_system_tpu.ops.quant import quantize_decoder_params
+
+            self.dec_params = quantize_decoder_params(self.dec_params)
+            logger.info("decoder weights quantized to int8 (per-channel)")
+
         self.enc_tok = (get_tokenizer(settings.embed_model_name, self.enc_cfg.vocab_size)
                         if enc_real else
                         HashTokenizer(self.enc_cfg.vocab_size, pad_id=self.enc_cfg.pad_token_id))

@@ -13,9 +13,15 @@ import jax.numpy as jnp
 NEG_INF = -1.0e9  # additive attention-mask value (f32-safe, avoids NaN in softmax)
 
 
-def dense(x: jax.Array, w: jax.Array, b: jax.Array | None = None) -> jax.Array:
-    """x: (..., in) @ w: (in, out) [+ b]."""
-    y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+def dense(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """x: (..., in) @ w: (in, out) [+ b]. `w` may be a plain array or an
+    ops.quant.QuantizedWeight (int8 + per-channel scale); the dequant fuses
+    into the matmul operand load, halving weight HBM traffic."""
+    if hasattr(w, "q"):  # QuantizedWeight
+        wmat = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
+    else:
+        wmat = w
+    y = jnp.einsum("...i,io->...o", x, wmat, preferred_element_type=jnp.float32)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.astype(x.dtype)

@@ -39,11 +39,23 @@ def _spec_for(key: str, ndim: int) -> P:
 
 
 def param_shardings(params, mesh: Mesh):
-    """Map our encoder/decoder pytrees to NamedShardings by leaf key name."""
+    """Map our encoder/decoder pytrees to NamedShardings by leaf key name.
+    QuantizedWeight leaves shard their int8 matrix like the fp weight would
+    and their (1, out) scale along the same output axis."""
+
+    def leaf_sharding(key, v):
+        if hasattr(v, "q"):  # ops.quant.QuantizedWeight
+            from rag_serving_system_tpu.ops.quant import QuantizedWeight
+
+            w_spec = _spec_for(key, 2)
+            s_spec = P(None, w_spec[1]) if key in _COL else P(None, None)
+            return QuantizedWeight(q=NamedSharding(mesh, w_spec),
+                                   scale=NamedSharding(mesh, s_spec))
+        return NamedSharding(mesh, _spec_for(key, v.ndim))
 
     def walk(tree):
         if isinstance(tree, dict):
-            return {k: (NamedSharding(mesh, _spec_for(k, v.ndim))
+            return {k: (leaf_sharding(k, v)
                         if not isinstance(v, (dict, list)) else walk(v))
                     for k, v in tree.items()}
         if isinstance(tree, list):

@@ -1,0 +1,80 @@
+"""Weight-only int8 quantization: error bounds, decode still works, greedy
+outputs mostly agree with fp at tiny scale, engine integration."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from rag_serving_system_tpu.models.configs import QWEN2_TINY
+from rag_serving_system_tpu.models.layers import dense
+from rag_serving_system_tpu.models.qwen2 import generate, prefill
+from rag_serving_system_tpu.models.weights import init_decoder_params
+from rag_serving_system_tpu.ops.quant import (
+    QuantizedWeight,
+    dequantize,
+    quantize_decoder_params,
+    quantize_int8,
+)
+
+
+def test_quantize_roundtrip_error(rng):
+    w = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32) * 0.02)
+    qw = quantize_int8(w)
+    assert qw.q.dtype == jnp.int8 and qw.scale.shape == (1, 128)
+    err = np.abs(np.asarray(dequantize(qw, jnp.float32)) - np.asarray(w))
+    # max error is half a quantization step per channel
+    steps = np.asarray(qw.scale)[0]
+    assert (err <= steps * 0.51 + 1e-8).all()
+
+
+def test_dense_accepts_quantized(rng):
+    x = jnp.asarray(rng.standard_normal((4, 64)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((64, 32)).astype(np.float32) * 0.02)
+    y_fp = dense(x, w)
+    y_q = dense(x, quantize_int8(w))
+    np.testing.assert_allclose(np.asarray(y_q), np.asarray(y_fp),
+                               rtol=0.05, atol=5e-3)
+
+
+def test_quantize_decoder_params_structure():
+    params = init_decoder_params(QWEN2_TINY, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params)
+    layer = qparams["layers"][0]
+    for key in ("qkv_w", "o_w", "gu_w", "down_w"):
+        assert isinstance(layer[key], QuantizedWeight), key
+    # non-matmul leaves untouched
+    assert not isinstance(layer["ln1"], QuantizedWeight)
+    assert not isinstance(qparams["embed"], QuantizedWeight)
+
+
+def test_quantized_generate_runs_and_tracks_fp():
+    cfg = QWEN2_TINY
+    params = init_decoder_params(cfg, seed=1, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params)
+    ids = jnp.asarray([[7, 23, 99, 45, 12, 88]], dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    logits_fp, _ = prefill(params, cfg, ids, mask, 1, dtype=jnp.float32)
+    logits_q, _ = prefill(qparams, cfg, ids, mask, 1, dtype=jnp.float32)
+    # logits correlation should be very high even at tiny scale
+    a, b = np.asarray(logits_fp[0]), np.asarray(logits_q[0])
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
+    toks = generate(qparams, cfg, ids, mask, jax.random.PRNGKey(0),
+                    max_new_tokens=4, do_sample=False, dtype=jnp.float32)
+    assert toks.shape == (1, 4)
+
+
+def test_engine_with_int8(rng):
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    docs = [f"Fact {i}." for i in range(20)]
+    emb = rng.standard_normal((20, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[2], encode_len_buckets=[16],
+                        prompt_len_buckets=[64], max_new_tokens=2, max_k=4,
+                        quant_weights="int8")
+    engine = RagEngine(settings, docs, emb)
+    results = engine.process(["q one", "q two"], [2, 2])
+    assert len(results) == 2 and all("result" in r for r in results)
