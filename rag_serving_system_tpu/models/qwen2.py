@@ -65,12 +65,33 @@ def _mlp(params, x):
     return dense(silu(gu[..., :f]) * gu[..., f:], params["down_w"])
 
 
+def embed_lookup(params: dict, ids: jax.Array, dtype) -> jax.Array:
+    """Token embedding gather; supports an int8 per-row QuantizedWeight."""
+    emb = params["embed"]
+    if hasattr(emb, "q"):
+        rows = jnp.take(emb.q, ids, axis=0).astype(jnp.float32)
+        scale = jnp.take(emb.scale, ids, axis=0)
+        return (rows * scale).astype(dtype)
+    return jnp.take(emb, ids, axis=0).astype(dtype)
+
+
 def logits_from_hidden(params: dict, cfg: DecoderConfig, x: jax.Array) -> jax.Array:
     x = rms_norm(x, params["ln_f"], cfg.rms_norm_eps)
     head = params.get("lm_head")
-    if head is None:
-        head = params["embed"].T
-    return jnp.einsum("...h,hv->...v", x, head.astype(x.dtype),
+    if head is not None:
+        if hasattr(head, "q"):
+            head_mat = ((head.q.astype(jnp.float32)) * head.scale).astype(x.dtype)
+            return jnp.einsum("...h,hv->...v", x, head_mat,
+                              preferred_element_type=jnp.float32)
+        return jnp.einsum("...h,hv->...v", x, head.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
+    emb = params["embed"]
+    if hasattr(emb, "q"):
+        # tied int8 head: logits_v = scale_v * (x · q_v)
+        raw = jnp.einsum("...h,vh->...v", x, emb.q.astype(x.dtype),
+                         preferred_element_type=jnp.float32)
+        return raw * emb.scale[:, 0]
+    return jnp.einsum("...h,vh->...v", x, emb.astype(x.dtype),
                       preferred_element_type=jnp.float32)
 
 
@@ -91,7 +112,7 @@ def prefill(
     positions = jnp.cumsum(attention_mask, axis=-1) - 1
     positions = jnp.maximum(positions, 0)
 
-    x = jnp.take(params["embed"], input_ids, axis=0).astype(dtype)
+    x = embed_lookup(params, input_ids, dtype)
 
     # Pallas flash attention for long prompt buckets on TPU: the XLA einsum
     # path materializes a (B, Hk, G, P, P) f32 score tensor in HBM; flash
@@ -151,7 +172,7 @@ def decode_step(
         [prompt_mask > 0, jnp.broadcast_to(gen_valid, (b, t_max - prompt_len))], axis=1)
     bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :].astype(jnp.float32)
 
-    x = jnp.take(params["embed"], token[:, None], axis=0).astype(dtype)  # (B, 1, H)
+    x = embed_lookup(params, token[:, None], dtype)  # (B, 1, H)
 
     new_k, new_v = [], []
     for li, layer in enumerate(params["layers"]):

@@ -41,18 +41,35 @@ def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jax.Array:
     return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
 
 
+def quantize_rows_int8(w: jax.Array) -> QuantizedWeight:
+    """Per-ROW symmetric quantization — for (V, H) embedding / tied LM-head
+    matrices, one scale per vocabulary row."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)          # (V, 1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return QuantizedWeight(q=q, scale=scale)
+
+
 def quantize_decoder_params(params: dict) -> dict:
-    """Quantize every 2-D matmul weight in a decoder pytree; leaves embed /
-    norms / biases untouched. Returns a new pytree with QuantizedWeight
-    leaves (same key names, so TP sharding rules still apply to `.q`)."""
-    quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2"}
+    """Quantize every 2-D matmul weight in a decoder pytree, plus the (tied)
+    token-embedding matrix — the LM head re-reads it every decode step, so
+    it is the single largest weight stream. Norms and biases stay bf16.
+    Returns a new pytree with QuantizedWeight leaves (same key names, so TP
+    sharding rules still apply to `.q`)."""
+    quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2", "lm_head"}
 
     def walk(tree):
         if isinstance(tree, dict):
-            return {k: (quantize_int8(v)
-                        if k in quant_keys and getattr(v, "ndim", 0) == 2
-                        else walk(v))
-                    for k, v in tree.items()}
+            out = {}
+            for k, v in tree.items():
+                if k == "embed" and getattr(v, "ndim", 0) == 2:
+                    out[k] = quantize_rows_int8(v)
+                elif k in quant_keys and getattr(v, "ndim", 0) == 2:
+                    out[k] = quantize_int8(v)
+                else:
+                    out[k] = walk(v)
+            return out
         if isinstance(tree, list):
             return [walk(v) for v in tree]
         return tree

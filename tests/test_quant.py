@@ -43,9 +43,11 @@ def test_quantize_decoder_params_structure():
     layer = qparams["layers"][0]
     for key in ("qkv_w", "o_w", "gu_w", "down_w"):
         assert isinstance(layer[key], QuantizedWeight), key
-    # non-matmul leaves untouched
+    # norms/biases untouched; embed quantized per-row (tied LM head)
     assert not isinstance(layer["ln1"], QuantizedWeight)
-    assert not isinstance(qparams["embed"], QuantizedWeight)
+    assert not isinstance(qparams["ln_f"], QuantizedWeight)
+    assert isinstance(qparams["embed"], QuantizedWeight)
+    assert qparams["embed"].scale.shape == (QWEN2_TINY.vocab_size, 1)
 
 
 def test_quantized_generate_runs_and_tracks_fp():
