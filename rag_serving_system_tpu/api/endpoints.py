@@ -17,6 +17,7 @@ gauges fed by the BatchProcessor.
 from __future__ import annotations
 
 import asyncio
+from concurrent.futures import ThreadPoolExecutor
 
 from aiohttp import web
 from prometheus_client import CollectorRegistry, Counter, Gauge, generate_latest
@@ -60,12 +61,16 @@ def create_api(request_queue, processor=None, engine=None,
         requests_total_c.inc()
         return web.json_response({"request_id": request_id, "status": "processing"})
 
+    # get_result holds its worker thread up to 0.1 s per poll; a dedicated
+    # wide pool keeps thousands of concurrent pollers from starving the
+    # default executor (which aiohttp shares with everything else)
+    poll_pool = ThreadPoolExecutor(max_workers=256,
+                                   thread_name_prefix="result-poll")
+
     async def get_result(request: web.Request) -> web.Response:
         request_id = request.match_info["request_id"]
-        # the in-memory queue's get_result blocks up to `timeout`; run it off
-        # the event loop so concurrent pollers don't serialize
         result = await asyncio.get_event_loop().run_in_executor(
-            None, lambda: request_queue.get_result(request_id, 0.1))
+            poll_pool, lambda: request_queue.get_result(request_id, 0.1))
         if result is None:
             return web.json_response({"status": "processing"})
         return web.json_response({"status": "complete", "result": result})

@@ -1,11 +1,13 @@
 """API request/response schemas (reference: rag_service/api/models.py:4-10)."""
 
-from pydantic import BaseModel
+from pydantic import BaseModel, Field
 
 
 class QueryRequest(BaseModel):
-    query: str
-    k: int = 2
+    query: str = Field(max_length=100_000)
+    # k is clamped server-side to the engine's compiled max_k; validation here
+    # rejects nonsense before it reaches the queue
+    k: int = Field(default=2, ge=1, le=1024)
 
 
 class QueryResponse(BaseModel):

@@ -35,7 +35,8 @@ class BatchProcessor(threading.Thread):
         self.polling_interval = polling_interval
         self.prefetch = prefetch
         self.running = False
-        self._busy = False
+        self._busy = False            # stage-2 executing
+        self._stage1_busy = False     # prefetch thread holds a dequeued batch
         self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=1)
         # rolling stats for observability
         self.batches_processed = 0
@@ -53,6 +54,7 @@ class BatchProcessor(threading.Thread):
                 if not batch:
                     time.sleep(self.polling_interval)
                     continue
+                self._stage1_busy = True
                 try:
                     queries = [req["query"] for req in batch]
                     ks = [req.get("k", 2) for req in batch]
@@ -63,7 +65,10 @@ class BatchProcessor(threading.Thread):
                     for req in batch:
                         self.request_queue.store_result(
                             req["id"], {"error": str(e), "status": "failed"})
+                finally:
+                    self._stage1_busy = False
             except Exception:
+                self._stage1_busy = False
                 logger.exception("prefetch loop error")
                 time.sleep(self.polling_interval)
 
@@ -83,7 +88,10 @@ class BatchProcessor(threading.Thread):
                     except queue.Empty:
                         continue
                     self._busy = True
-                    self._generate_and_store(batch, prompts)
+                    try:
+                        self._generate_and_store(batch, prompts)
+                    finally:
+                        ready.task_done()  # pairs with put(); drives drain accounting
                 else:
                     batch = self.request_queue.get_batch()
                     if not batch:
@@ -143,6 +151,8 @@ class BatchProcessor(threading.Thread):
         in-memory mode is the same at-most-once tradeoff the reference's
         BLPOP path has (SURVEY §5)."""
         deadline = time.time() + drain_timeout
-        while time.time() < deadline and (self._busy or not self._ready.empty()):
+        while time.time() < deadline and (
+                self._busy or self._stage1_busy
+                or self._ready.unfinished_tasks > 0):
             time.sleep(0.02)
         self.running = False

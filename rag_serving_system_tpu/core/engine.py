@@ -46,7 +46,11 @@ from rag_serving_system_tpu.models import (
 )
 from rag_serving_system_tpu.models.e5 import encode
 from rag_serving_system_tpu.models.qwen2 import generate
-from rag_serving_system_tpu.models.tokenizer import get_tokenizer, HashTokenizer
+from rag_serving_system_tpu.models.tokenizer import (
+    get_tokenizer,
+    HashTokenizer,
+    pad_and_stack,
+)
 from rag_serving_system_tpu.models.weights import get_decoder_params, get_encoder_params
 from rag_serving_system_tpu.ops.topk import cosine_topk_pallas, cosine_topk_reference
 from rag_serving_system_tpu.parallel.mesh import make_mesh
@@ -126,7 +130,9 @@ class RagEngine:
                                       pad_id=self.dec_cfg.pad_token_id,
                                       eos_id=self.dec_cfg.eos_token_id))
 
-        # corpus on device, normalized once
+        # corpus on device, normalized once (shared helper with retrievers)
+        from rag_serving_system_tpu.core.retriever import _l2n
+
         emb = np.asarray(doc_embeddings, dtype=np.float32)
         if emb.ndim != 2 or emb.shape[1] != self.enc_cfg.hidden_size:
             raise ValueError(
@@ -141,7 +147,7 @@ class RagEngine:
 
             self.enc_params = shard_params(self.enc_params, mesh)
             self.dec_params = shard_params(self.dec_params, mesh)
-        emb = emb / np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        emb = _l2n(emb)
         self.n_docs = emb.shape[0]
         self.mesh = mesh
         n_dev = 1 if mesh is None else mesh.devices.size
@@ -187,16 +193,19 @@ class RagEngine:
             return []
         bsz = pick_bucket(self.settings.batch_buckets, len(queries))
         texts = [QUERY_PREFIX + q for q in queries] + [""] * (bsz - len(queries))
-        max_len = self._encode_len(texts)
-        ids, mask = self.enc_tok.encode_batch(texts, max_len, pad_side="right")
+        rows = [self.enc_tok.encode(t) for t in texts]  # tokenize ONCE
+        max_len = pick_bucket(self.settings.encode_len_buckets,
+                              max(len(r) for r in rows[:len(queries)]))
+        ids, mask = pad_and_stack(rows, max_len, self.enc_tok.pad_id,
+                                  pad_side="right")
         # fully padded rows would make the unmasked mean degenerate; give the
         # pad rows one real token so the forward is well-defined (discarded)
         mask[len(queries):, 0] = 1
-        ks = [max(1, min(int(k), self.n_docs)) for k in ks]
-        # fixed compiled k (reference's fixed-max_k trick, retriever.py:744-769);
-        # k beyond max_k triggers a rare recompile rather than failing
-        kmax = max(ks)
-        k = self.max_k if kmax <= self.max_k else kmax
+        # hard-clamp k to [1, max_k] (and corpus size): a single compiled top-k
+        # shape serves every request — an attacker-supplied huge k must never
+        # trigger an unbounded recompile (the merge loop unrolls k times)
+        ks = [max(1, min(int(k), self.n_docs, self.max_k)) for k in ks]
+        k = self.max_k
         if self.mesh is not None and self.mesh.devices.size > 1:
             q_emb = self._embed_jit(self._put_batch(ids), self._put_batch(mask))
             _, idx = self._topk(q_emb, k)
@@ -207,10 +216,6 @@ class RagEngine:
                 jnp.asarray(mask), self.corpus, k, self.use_pallas, self.dtype)
         idx = np.asarray(idx)  # single device→host transfer
         return [list(map(int, idx[i, :ks[i]])) for i in range(len(queries))]
-
-    def _encode_len(self, texts: List[str]) -> int:
-        longest = max(len(self.enc_tok.encode(t)) for t in texts)
-        return pick_bucket(self.settings.encode_len_buckets, longest)
 
     # ------------------------------------------------------------------
     # stage 3: generate
@@ -225,9 +230,13 @@ class RagEngine:
     def _generate_answers(self, prompts: List[str]) -> List[str]:
         bsz = pick_bucket(self.settings.batch_buckets, len(prompts))
         padded = prompts + [""] * (bsz - len(prompts))
-        longest = max(len(self.dec_tok.encode(t)) for t in prompts)
-        plen = pick_bucket(self.settings.prompt_len_buckets, longest)
-        ids, mask = self.dec_tok.encode_batch(padded, plen, pad_side="left")
+        rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
+        plen = pick_bucket(self.settings.prompt_len_buckets,
+                           max(len(r) for r in rows[:len(prompts)]))
+        # truncate_side="left": over-long prompts keep the tail (the question
+        # and the answer cue), dropping leading context instead
+        ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
+                                  pad_side="left", truncate_side="left")
         mask[len(prompts):, -1] = 1  # keep pad rows well-defined
         self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg,

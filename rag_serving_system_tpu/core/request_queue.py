@@ -37,15 +37,19 @@ from typing import Any, Optional
 class RequestQueue:
     """Thread-safe in-memory FIFO + result store (single-replica mode)."""
 
+    RESULT_TTL_S = 3600  # match the Redis backend's SETEX TTL
+
     def __init__(self, max_batch_size: int = 32, max_wait_time: float = 1.0,
-                 polling_interval: float = 0.1):
+                 polling_interval: float = 0.1, result_ttl_s: float | None = None):
         self.queue: "queue.Queue[dict]" = queue.Queue()
         self.max_batch_size = max_batch_size
         self.max_wait_time = max_wait_time
         self.polling_interval = polling_interval
+        self.result_ttl_s = result_ttl_s if result_ttl_s is not None else self.RESULT_TTL_S
         self._lock = threading.Lock()
-        self._results: dict[str, Any] = {}
+        self._results: dict[str, tuple[float, Any]] = {}  # id → (stored_at, result)
         self._events: dict[str, threading.Event] = {}
+        self._stores_since_sweep = 0
 
     def add_request(self, query: str, k: int = 2) -> str:
         request_id = str(uuid.uuid4())
@@ -70,26 +74,45 @@ class RequestQueue:
                 break
         return batch
 
+    def _sweep_expired_locked(self) -> None:
+        """Drop results abandoned by clients (TTL like the Redis SETEX,
+        request_queue.py:66) so sustained load with client timeouts can't
+        grow the dict without bound. Amortized: runs every 256 stores."""
+        cutoff = time.time() - self.result_ttl_s
+        expired = [rid for rid, (ts, _) in self._results.items() if ts < cutoff]
+        for rid in expired:
+            del self._results[rid]
+
     def store_result(self, request_id: str, result: Any) -> None:
         with self._lock:
-            self._results[request_id] = result
+            self._results[request_id] = (time.time(), result)
             ev = self._events.pop(request_id, None)
+            self._stores_since_sweep += 1
+            if self._stores_since_sweep >= 256:
+                self._stores_since_sweep = 0
+                self._sweep_expired_locked()
         if ev is not None:
             ev.set()
+
+    def _pop_locked(self, request_id: str) -> Optional[Any]:
+        entry = self._results.pop(request_id, None)
+        return entry[1] if entry is not None else None
 
     def get_result(self, request_id: str, timeout: float = 30) -> Optional[Any]:
         with self._lock:
             if request_id in self._results:
-                return self._results.pop(request_id)
+                return self._pop_locked(request_id)
+            if timeout <= 0:
+                return None
             ev = self._events.setdefault(request_id, threading.Event())
         if not ev.wait(timeout):
             with self._lock:
                 # avoid leaking events for requests nobody will answer
                 if self._events.get(request_id) is ev and request_id not in self._results:
                     self._events.pop(request_id, None)
-                return self._results.pop(request_id, None)
+                return self._pop_locked(request_id)
         with self._lock:
-            return self._results.pop(request_id, None)
+            return self._pop_locked(request_id)
 
     # introspection used by /metrics
     def queue_size(self) -> int:

@@ -71,9 +71,10 @@ class HashTokenizer:
                         (self.bos_id, self.eos_id, self.pad_id))
 
     def encode_batch(self, texts: List[str], max_len: int,
-                     pad_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
-        rows = [self.encode(t)[:max_len] for t in texts]
-        return pad_and_stack(rows, max_len, self.pad_id, pad_side)
+                     pad_side: str = "right",
+                     truncate_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
+        rows = [self.encode(t) for t in texts]
+        return pad_and_stack(rows, max_len, self.pad_id, pad_side, truncate_side)
 
 
 class HFTokenizer:
@@ -94,20 +95,25 @@ class HFTokenizer:
         return self.tok.decode([int(i) for i in ids], skip_special_tokens=True)
 
     def encode_batch(self, texts: List[str], max_len: int,
-                     pad_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
-        rows = [self.tok.encode(t, truncation=True, max_length=max_len) for t in texts]
-        return pad_and_stack(rows, max_len, self.pad_id, pad_side)
+                     pad_side: str = "right",
+                     truncate_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
+        rows = [self.tok.encode(t) for t in texts]
+        return pad_and_stack(rows, max_len, self.pad_id, pad_side, truncate_side)
 
 
 def pad_and_stack(rows: List[List[int]], max_len: int, pad_id: int,
-                  pad_side: str) -> Tuple[np.ndarray, np.ndarray]:
+                  pad_side: str, truncate_side: str = "right"
+                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Pad a ragged batch to (B, max_len) + mask. Right-pad for the encoder,
-    left-pad for the decoder (reference: main.py:31 padding_side='left')."""
+    left-pad for the decoder (reference: main.py:31 padding_side='left').
+
+    truncate_side="left" keeps the TAIL of over-long rows — required for RAG
+    prompts, where the question and answer cue sit at the end."""
     b = len(rows)
     ids = np.full((b, max_len), pad_id, dtype=np.int32)
     mask = np.zeros((b, max_len), dtype=np.int32)
     for i, row in enumerate(rows):
-        row = row[:max_len]
+        row = row[:max_len] if truncate_side == "right" else row[-max_len:]
         n = len(row)
         if pad_side == "right":
             ids[i, :n] = row

@@ -114,8 +114,10 @@ static inline int is_word(uint8_t c) {
 }
 
 static inline int is_space(uint8_t c) {
+    /* Python's re \s over str: [ \t\n\r\v\f] plus the ASCII separators
+     * FS/GS/RS/US (0x1c-0x1f), which Python treats as whitespace. */
     return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\v' ||
-           c == '\f';
+           c == '\f' || (c >= 0x1c && c <= 0x1f);
 }
 
 /* Tokenize `s[0:len]` (ASCII) like Python's \w+|[^\w\s], hash each token,

@@ -68,6 +68,26 @@ def test_engine_variable_k(engine):
     assert all(0 <= i < 30 for row in idx for i in row)
 
 
+def test_engine_huge_k_is_clamped_not_compiled(engine):
+    """k beyond max_k must clamp (single compiled shape), never trigger an
+    attacker-controlled recompile with a k-times-unrolled merge loop."""
+    idx = engine.embed_and_retrieve(["q"], [10_000_000])
+    assert len(idx[0]) == engine.max_k
+
+
+def test_prompt_truncation_keeps_tail():
+    """Over-long prompts must keep the question/answer cue at the END."""
+    from rag_serving_system_tpu.models.tokenizer import HashTokenizer, pad_and_stack
+
+    tok = HashTokenizer(1000)
+    long_prompt = ("filler " * 100) + "QUESTION_MARKER"
+    rows = [tok.encode(long_prompt)]
+    ids, mask = pad_and_stack(rows, 16, tok.pad_id, pad_side="left",
+                              truncate_side="left")
+    marker_id = tok._tok2id("QUESTION_MARKER")
+    assert marker_id in ids[0], "tail (question) was truncated away"
+
+
 def test_engine_empty_batch(engine):
     assert engine.process([], []) == []
 

@@ -28,6 +28,7 @@ CASES = [
     "",
     "   leading spaces\tand\ttabs\n\nnewlines  ",
     "punct!@#$%^&*()_+-=[]{};':\",./<>?",
+    "ascii separators\x1cbetween\x1dwords\x1ehere\x1ftoo",
     "under_scores_and_digits_42 mix3d t0kens",
     "Context:\nFact 1\n---\nFact 2\n\nQuestion: why?\n\nThe Answer to this question is: ",
 ]

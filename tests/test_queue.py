@@ -40,6 +40,25 @@ def test_items_carry_timestamp_and_k():
     assert item["k"] == 7 and "timestamp" in item and "id" in item
 
 
+def test_result_ttl_eviction():
+    q = RequestQueue(result_ttl_s=0.05)
+    rid = q.add_request("x")
+    q.store_result(rid, {"result": "stale"})
+    time.sleep(0.1)
+    # force the amortized sweep
+    q._stores_since_sweep = 255
+    q.store_result("other", {"result": "fresh"})
+    assert rid not in q._results          # expired entry evicted
+    assert q.get_result("other", timeout=0.1) == {"result": "fresh"}
+
+
+def test_get_result_timeout_zero_nonblocking():
+    q = RequestQueue()
+    t0 = time.time()
+    assert q.get_result("missing", timeout=0) is None
+    assert time.time() - t0 < 0.05
+
+
 def test_result_consume_once():
     q = RequestQueue()
     rid = q.add_request("x")
