@@ -104,6 +104,49 @@ class TpuRetriever:
         return [[self.documents[i] for i in row[:k]] for row, k in zip(idx, ks)]
 
 
+class IvfRetriever:
+    """Approximate (IVF) retriever for very large corpora — O(C + nprobe*cap)
+    rows scanned per query instead of O(N). Same serving interface as the
+    exact retrievers; recall controlled by nprobe (nprobe=C ⇒ exact)."""
+
+    def __init__(self, embeddings: np.ndarray, documents: Sequence[str],
+                 n_clusters: int = 64, nprobe: int = 8, iters: int = 10,
+                 max_k: int = 16):
+        from rag_serving_system_tpu.ops.ivf import build_ivf
+
+        self.documents = list(documents)
+        corpus = _l2n(np.asarray(embeddings, dtype=np.float32))
+        self.n = corpus.shape[0]
+        self.nprobe = min(nprobe, n_clusters)
+        self.max_k = min(max_k, self.n)
+        self.index = build_ivf(corpus, n_clusters=min(n_clusters, self.n),
+                               iters=iters)
+
+    def topk_indices(self, query_embeddings, k: int):
+        from rag_serving_system_tpu.ops.ivf import ivf_search
+
+        q = jnp.asarray(query_embeddings, dtype=jnp.float32)
+        return ivf_search(self.index, q, k, nprobe=self.nprobe)
+
+    def retrieve(self, query_embedding: np.ndarray, k: int = 2) -> List[str]:
+        return self.batch_retrieve(np.asarray(query_embedding)[None, :], [k])[0]
+
+    def batch_retrieve(self, query_embeddings: np.ndarray,
+                       ks: Sequence[int]) -> List[List[str]]:
+        if len(ks) == 0:
+            return []
+        q = np.asarray(query_embeddings, dtype=np.float32)
+        if q.ndim != 2 or q.shape[1] != self.index.centroids.shape[1]:
+            logger.error("batch_retrieve: bad query shape %s", q.shape)
+            return [[] for _ in ks]
+        ks = [max(1, min(int(k), self.n)) for k in ks]
+        max_k = min(max(ks), self.n)
+        _, idx = self.topk_indices(q, max_k)
+        idx = np.asarray(idx)
+        return [[self.documents[i] for i in row[:k] if i >= 0]
+                for row, k in zip(idx, ks)]
+
+
 class ShardedRetriever:
     """Corpus sharded on N over a jax Mesh; exact top-k with ICI merge."""
 

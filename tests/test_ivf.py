@@ -1,0 +1,64 @@
+"""IVF approximate retrieval: recall on clustered data, exactness when
+nprobe = n_clusters, padding/interface behavior."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from rag_serving_system_tpu.core.retriever import IvfRetriever, SimpleRetriever
+from rag_serving_system_tpu.ops.ivf import build_ivf, ivf_search
+
+
+def clustered_corpus(rng, n_clusters=16, per=64, d=64):
+    """Well-separated clusters — the regime IVF is built for."""
+    centers = rng.standard_normal((n_clusters, d)).astype(np.float32) * 5
+    rows = np.concatenate([
+        centers[i] + rng.standard_normal((per, d)).astype(np.float32) * 0.3
+        for i in range(n_clusters)])
+    rows /= np.linalg.norm(rows, axis=-1, keepdims=True)
+    return rows
+
+
+def test_ivf_search_shapes(rng):
+    corpus = clustered_corpus(rng)
+    index = build_ivf(corpus, n_clusters=16, iters=5)
+    q = corpus[::100][:4]
+    scores, idx = ivf_search(index, jnp.asarray(q), k=5, nprobe=4)
+    assert scores.shape == (4, 5) and idx.shape == (4, 5)
+    assert (np.asarray(idx) >= 0).all()
+
+
+def test_ivf_high_recall_on_clustered_data(rng):
+    corpus = clustered_corpus(rng)
+    docs = [f"d{i}" for i in range(len(corpus))]
+    queries = corpus[rng.choice(len(corpus), 32, replace=False)]
+    queries = queries + rng.standard_normal(queries.shape).astype(np.float32) * 0.05
+    exact = SimpleRetriever(corpus, docs)
+    ivf = IvfRetriever(corpus, docs, n_clusters=16, nprobe=4, iters=8)
+    ks = [5] * len(queries)
+    got = ivf.batch_retrieve(queries, ks)
+    want = exact.batch_retrieve(queries, ks)
+    hits = sum(len(set(g) & set(w)) for g, w in zip(got, want))
+    recall = hits / (5 * len(queries))
+    assert recall >= 0.9, recall
+
+
+def test_ivf_full_probe_is_exact(rng):
+    corpus = clustered_corpus(rng, n_clusters=8, per=32)
+    docs = [f"d{i}" for i in range(len(corpus))]
+    queries = rng.standard_normal((8, 64)).astype(np.float32)
+    exact = SimpleRetriever(corpus, docs)
+    ivf = IvfRetriever(corpus, docs, n_clusters=8, nprobe=8, iters=8)
+    ks = [5] * 8
+    assert ivf.batch_retrieve(queries, ks) == exact.batch_retrieve(queries, ks)
+
+
+def test_ivf_interface_edges(rng):
+    corpus = clustered_corpus(rng, n_clusters=4, per=16)
+    docs = [f"d{i}" for i in range(len(corpus))]
+    ivf = IvfRetriever(corpus, docs, n_clusters=4, nprobe=2)
+    assert ivf.batch_retrieve(np.zeros((0, 64), np.float32), []) == []
+    assert ivf.batch_retrieve(np.ones((1, 32), np.float32), [2]) == [[]]
+    out = ivf.retrieve(np.ones(64, np.float32), k=3)
+    assert len(out) == 3
