@@ -137,10 +137,12 @@ def main() -> None:
 
     result = {
         "metric": f"rag_e2e_throughput_b{batch}"
-                  + ("" if config == "short_facts" else f"_{config}"),
+                  + ("" if config == "short_facts" else f"_{config}")
+                  + ("_tinysmoke" if mode == "tiny" else ""),
         "value": round(rps, 2),
         "unit": "req/s",
-        "vs_baseline": round(rps / BASELINE_RPS, 2),
+        # tiny mode is a CI smoke run of toy models — not baseline-comparable
+        "vs_baseline": round(rps / BASELINE_RPS, 2) if mode != "tiny" else None,
     }
     print(json.dumps(result))
     try:  # extended record for the perf log (headline line above is the contract)
