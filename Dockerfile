@@ -12,6 +12,10 @@ COPY rag_serving_system_tpu/ rag_serving_system_tpu/
 COPY main.py bench.py ./
 COPY data/ data/
 COPY scripts/ scripts/
+# native host-path components are always built from source in-image
+# (the .so is never shipped; see rag_serving_system_tpu/native/build.sh)
+RUN rm -f rag_serving_system_tpu/native/*.so \
+    && bash rag_serving_system_tpu/native/build.sh
 
 # Pre-download HF snapshots at build time when network is available
 # (reference Dockerfile:15-21); at runtime WEIGHTS_DIR/HF cache is probed and

@@ -38,6 +38,16 @@ def build_app(settings=None, warmup: bool = True):
 
     settings = settings or get_settings()
 
+    if settings.platform:
+        # must run before any backend is initialized; wins over plugin
+        # force-selection (env JAX_PLATFORMS can be overridden by plugins,
+        # the config update cannot)
+        try:
+            jax.config.update("jax_platforms", settings.platform)
+        except RuntimeError as e:
+            logger.warning("JAX_SERVE_PLATFORM=%s ignored (backend already "
+                           "initialized): %s", settings.platform, e)
+
     logger.info("loading corpus: %s", settings.document_text_file)
     with open(settings.document_text_file, "r", encoding="utf-8") as f:
         documents = json.load(f)

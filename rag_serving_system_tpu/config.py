@@ -65,6 +65,10 @@ class Settings:
     prompt_len_buckets: List[int] = field(
         default_factory=lambda: _parse_int_list(_env("PROMPT_LEN_BUCKETS", "128,256,512,1024")))
     max_new_tokens: int = field(default_factory=lambda: int(_env("MAX_NEW_TOKENS", "10")))
+    # sampling on by default (reference: batch_processor.py:105 do_sample=True);
+    # greedy mode gives deterministic output for parity tests / debugging
+    do_sample: bool = field(
+        default_factory=lambda: _env("DO_SAMPLE", "1").lower() not in ("0", "false"))
     # retrieval: fixed compiled k (per-request k <= max_k sliced on host,
     # mirroring the reference's fixed-max_k trick, reference retriever.py:744-769)
     max_k: int = field(default_factory=lambda: int(_env("MAX_K", "16")))

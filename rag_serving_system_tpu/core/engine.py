@@ -71,6 +71,20 @@ def pick_bucket(buckets: Sequence[int], n: int) -> int:
     return buckets[-1]
 
 
+def _batch_buckets(settings: Settings) -> list[int]:
+    """Batch buckets with max_batch_size guaranteed covered — otherwise an
+    oversized batch would silently run unbucketed shapes (new XLA compile per
+    distinct size)."""
+    buckets = sorted(set(settings.batch_buckets))
+    if settings.max_batch_size > buckets[-1]:
+        logger.warning(
+            "MAX_BATCH_SIZE=%d exceeds the largest batch bucket %d; "
+            "auto-appending it to the bucket set",
+            settings.max_batch_size, buckets[-1])
+        buckets.append(settings.max_batch_size)
+    return buckets
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype"))
 def _encode_compiled(params, cfg, ids, mask, dtype):
     return encode(params, cfg, ids, mask, pooling="mean_all", dtype=dtype)
@@ -99,6 +113,7 @@ class RagEngine:
         mesh=None,
     ):
         self.settings = settings
+        self.batch_buckets = _batch_buckets(settings)
         self.documents = list(documents)
         self.dtype = jnp.bfloat16 if settings.dtype == "bfloat16" else jnp.float32
 
@@ -173,7 +188,8 @@ class RagEngine:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         dp = self.mesh.shape["data"]
-        spec = P("data", None) if arr.shape[0] % dp == 0 else P(None, None)
+        rest = (None,) * (arr.ndim - 1)
+        spec = P("data", *rest) if arr.shape[0] % dp == 0 else P(None, *rest)
         return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def _embed_jit(self, ids, mask):
@@ -191,7 +207,15 @@ class RagEngine:
         """Returns per-query document-index lists (variable k, host-sliced)."""
         if not queries:
             return []
-        bsz = pick_bucket(self.settings.batch_buckets, len(queries))
+        cap = self.batch_buckets[-1]
+        if len(queries) > cap:
+            # oversize direct calls are chunked to the largest compiled bucket
+            # rather than running a one-off unbucketed XLA program
+            out: List[List[int]] = []
+            for i in range(0, len(queries), cap):
+                out.extend(self.embed_and_retrieve(queries[i:i + cap], ks[i:i + cap]))
+            return out
+        bsz = pick_bucket(self.batch_buckets, len(queries))
         texts = [QUERY_PREFIX + q for q in queries] + [""] * (bsz - len(queries))
         rows = [self.enc_tok.encode(t) for t in texts]  # tokenize ONCE
         max_len = pick_bucket(self.settings.encode_len_buckets,
@@ -228,7 +252,13 @@ class RagEngine:
             return self._generate_answers(prompts)
 
     def _generate_answers(self, prompts: List[str]) -> List[str]:
-        bsz = pick_bucket(self.settings.batch_buckets, len(prompts))
+        cap = self.batch_buckets[-1]
+        if len(prompts) > cap:
+            out: List[str] = []
+            for i in range(0, len(prompts), cap):
+                out.extend(self._generate_answers(prompts[i:i + cap]))
+            return out
+        bsz = pick_bucket(self.batch_buckets, len(prompts))
         padded = prompts + [""] * (bsz - len(prompts))
         rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
         plen = pick_bucket(self.settings.prompt_len_buckets,
@@ -238,11 +268,14 @@ class RagEngine:
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
                                   pad_side="left", truncate_side="left")
         mask[len(prompts):, -1] = 1  # keep pad rows well-defined
+        # pad rows are born done so EOS early-exit fires on partial batches
+        row_valid = np.arange(bsz) < len(prompts)
         self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg,
                         self._put_batch(ids), self._put_batch(mask), rng,
                         max_new_tokens=self.settings.max_new_tokens,
-                        do_sample=True, dtype=self.dtype)
+                        do_sample=self.settings.do_sample, dtype=self.dtype,
+                        row_valid=self._put_batch(row_valid))
         toks = np.asarray(toks)
         out = []
         for i in range(len(prompts)):

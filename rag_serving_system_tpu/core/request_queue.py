@@ -26,6 +26,7 @@ Improvements over the reference:
 
 from __future__ import annotations
 
+import collections
 import json
 import queue
 import threading
@@ -42,6 +43,7 @@ class RequestQueue:
     def __init__(self, max_batch_size: int = 32, max_wait_time: float = 1.0,
                  polling_interval: float = 0.1, result_ttl_s: float | None = None):
         self.queue: "queue.Queue[dict]" = queue.Queue()
+        self._pending_ts: "collections.deque[float]" = collections.deque()
         self.max_batch_size = max_batch_size
         self.max_wait_time = max_wait_time
         self.polling_interval = polling_interval
@@ -53,8 +55,13 @@ class RequestQueue:
 
     def add_request(self, query: str, k: int = 2) -> str:
         request_id = str(uuid.uuid4())
+        ts = time.time()
+        # side deque of enqueue timestamps so oldest_wait_time() can peek
+        # (queue.Queue has no peek); appended BEFORE put so a racing consumer
+        # always finds a timestamp to pop; popped as items are dequeued below
+        self._pending_ts.append(ts)
         self.queue.put({"id": request_id, "query": query, "k": k,
-                        "timestamp": time.time()})
+                        "timestamp": ts})
         return request_id
 
     def get_batch(self) -> list:
@@ -70,6 +77,10 @@ class RequestQueue:
                 item = self.queue.get(timeout=max(0.05, self.max_wait_time - elapsed))
                 batch.append(item)
                 self.queue.task_done()
+                try:
+                    self._pending_ts.popleft()
+                except IndexError:
+                    pass
             except queue.Empty:
                 break
         return batch
@@ -119,7 +130,13 @@ class RequestQueue:
         return self.queue.qsize()
 
     def oldest_wait_time(self) -> float:
-        return 0.0  # queue.Queue has no peek; in-memory mode reports 0 like the reference
+        """Wait of the oldest still-queued request (matches the Redis
+        backend's lindex-0 semantics). Approximate under concurrent dequeue —
+        it's a metrics gauge, not a synchronization primitive."""
+        try:
+            return max(0.0, time.time() - self._pending_ts[0])
+        except IndexError:
+            return 0.0
 
 
 class RedisRequestQueue:

@@ -236,6 +236,7 @@ def generate(
     top_p: float = 0.8,
     do_sample: bool = True,
     dtype=jnp.bfloat16,
+    row_valid: jax.Array | None = None,   # (B,) bool — False for pad rows
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
@@ -243,6 +244,8 @@ def generate(
     the host strips them — but the loop EXITS as soon as every sequence in
     the batch has emitted EOS, so short answers don't pay for max_new_tokens
     (the reference's HF pipeline decodes all 10 tokens unconditionally).
+    Batch-padding rows (row_valid False) are born done so they never defeat
+    the early exit and emit only pad_token_id.
     """
     b, p = input_ids.shape
     logits0, cache = prefill(params, cfg, input_ids, attention_mask,
@@ -255,7 +258,11 @@ def generate(
 
     rng, rng0 = jax.random.split(rng)
     tok0 = pick(logits0, rng0).astype(jnp.int32)
+    if row_valid is not None:
+        tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
     done0 = tok0 == cfg.eos_token_id
+    if row_valid is not None:
+        done0 = done0 | jnp.logical_not(row_valid)
     out0 = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(tok0)
 

@@ -81,9 +81,11 @@ def _flash_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref,
     acc0 = jnp.zeros((blk_q, d), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, n_kblocks, body, (m0, l0, acc0))
 
-    # fully-masked rows (left padding) have l == 0; emit zeros, they're
-    # discarded by downstream masking anyway
+    # fully-masked rows: every score stayed NEG_INF, so m == NEG_INF and
+    # p = exp(0) = 1 made (l, acc) an average-of-V — emit zeros for those
+    # rows instead so the output contract holds for any caller
     out = acc / jnp.maximum(l, 1e-30)
+    out = jnp.where(m > NEG_INF / 2, out, 0.0)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
 

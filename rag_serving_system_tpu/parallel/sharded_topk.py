@@ -32,8 +32,10 @@ from rag_serving_system_tpu.ops.topk import (
 def shard_corpus(corpus: jax.Array, mesh: Mesh) -> jax.Array:
     """Place the (N, D) corpus sharded on N over every mesh device.
 
-    N is padded to a multiple of the device count with zero rows (zero rows
-    can never win a cosine top-k against normalized real rows at k < N)."""
+    N is padded to a multiple of the device count with zero rows. Pad rows
+    score 0 against any query, which CAN beat real rows with negative cosine
+    similarity — `sharded_cosine_topk` stays exact by widening the per-shard
+    selection by the pad count before masking (see k_local below)."""
     n_dev = mesh.devices.size
     n = corpus.shape[0]
     n_pad = ((n + n_dev - 1) // n_dev) * n_dev
@@ -56,11 +58,16 @@ def sharded_cosine_topk(
     n_pad = corpus_sharded.shape[0]
     n_dev = mesh.devices.size
     shard_n = n_pad // n_dev
-    k_local = min(k, shard_n)
+    # Exactness with zero-padded rows: a pad row scores 0 and can displace a
+    # real row with NEGATIVE similarity from a shard's local top-k. Each shard
+    # holds at most (n_pad - valid_n) pad rows, so selecting k + pad_count
+    # locally guarantees every shard's true top-k real rows survive the
+    # post-selection mask below.
+    k_local = min(k + (n_pad - valid_n), shard_n)
 
     q = _l2_normalize(queries.astype(jnp.float32))
 
-    def local_then_merge(c_shard, q_rep):
+    def local_topk(c_shard, q_rep):
         # flat shard index over the combined ("data","model") axes
         di = jax.lax.axis_index(("data", "model"))
         base = di * shard_n
@@ -69,31 +76,31 @@ def sharded_cosine_topk(
         else:
             s, i = cosine_topk_reference(c_shard, q_rep, k_local,
                                          normalize_queries=False)
-        # mask padded rows (only the tail shard can contain them)
+        # mask padded rows (they score 0; k_local already over-selected so no
+        # real row was displaced)
         gidx = base + i
         s = jnp.where(gidx < valid_n, s, NEG_INF)
-        # gather candidates from all shards over ICI
-        all_s = jax.lax.all_gather(s, ("data", "model"), axis=0)   # (n_dev, B, k_local)
-        all_i = jax.lax.all_gather(gidx, ("data", "model"), axis=0)
-        b = q_rep.shape[0]
-        cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_dev * k_local)
-        cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_dev * k_local)
-        # tie-break identical scores toward the lowest global index so the
-        # merged result matches single-device lax.top_k semantics
-        order = jnp.argsort(cand_i, axis=1)
-        cand_s = jnp.take_along_axis(cand_s, order, axis=1)
-        cand_i = jnp.take_along_axis(cand_i, order, axis=1)
-        top_s, pos = jax.lax.top_k(cand_s, k)
-        top_i = jnp.take_along_axis(cand_i, pos, axis=1)
-        return top_s, top_i
+        return s[None], gidx[None]      # (1, B, k_local) per shard
 
+    # per-shard candidates come out stacked on a leading device axis; the
+    # merge below runs under the same jit — GSPMD inserts the ICI all-gather
+    # of the tiny (n_dev, B, k_local) candidate tensors, never the corpus
     fn = shard_map(
-        local_then_merge,
+        local_topk,
         mesh=mesh,
         in_specs=(P(("data", "model"), None), P(None, None)),
-        out_specs=(P(None, None), P(None, None)),
-        # outputs are replicated by construction (identical all_gather+merge on
-        # every shard); vma inference can't see through the index arithmetic
-        check_vma=False,
+        out_specs=(P(("data", "model"), None, None),
+                   P(("data", "model"), None, None)),
     )
-    return fn(corpus_sharded, q)
+    all_s, all_i = fn(corpus_sharded, q)                # (n_dev, B, k_local)
+    b = q.shape[0]
+    cand_s = jnp.transpose(all_s, (1, 0, 2)).reshape(b, n_dev * k_local)
+    cand_i = jnp.transpose(all_i, (1, 0, 2)).reshape(b, n_dev * k_local)
+    # tie-break identical scores toward the lowest global index so the
+    # merged result matches single-device lax.top_k semantics
+    order = jnp.argsort(cand_i, axis=1)
+    cand_s = jnp.take_along_axis(cand_s, order, axis=1)
+    cand_i = jnp.take_along_axis(cand_i, order, axis=1)
+    top_s, pos = jax.lax.top_k(cand_s, k)
+    top_i = jnp.take_along_axis(cand_i, pos, axis=1)
+    return top_s, top_i

@@ -69,3 +69,21 @@ def test_flash_rejects_ragged_blocks(rng):
     with pytest.raises(ValueError):
         flash_attention(q, k, v, jnp.ones((1, 96), jnp.int32),
                         blk_q=64, blk_k=64, interpret=True)
+
+
+def test_flash_fully_masked_rows_emit_zeros():
+    """A row whose keys are ALL masked must output zeros (advisor finding:
+    the online-softmax degenerates to an average of V when every score is
+    NEG_INF)."""
+    import jax.numpy as jnp
+    from rag_serving_system_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    b, s, hq, hk, d = 1, 8, 2, 2, 128
+    q = jnp.asarray(rng.standard_normal((b, s, hq, d)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, hk, d)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, hk, d)), dtype=jnp.float32)
+    mask = jnp.zeros((b, s), dtype=jnp.int32)  # every key masked
+    out = flash_attention(q, k, v, mask, causal=False, blk_q=8, blk_k=8,
+                          interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), 0.0)

@@ -209,3 +209,17 @@ def test_failed_batch_fans_out_errors(engine):
     proc.stop()
     assert res is not None
     assert res["status"] == "failed" and "boom" in res["error"]
+
+
+def test_batch_buckets_cover_max_batch_size():
+    """MAX_BATCH_SIZE beyond the largest bucket must be auto-covered so the
+    engine never runs unbucketed shapes (one XLA compile per distinct size)."""
+    from rag_serving_system_tpu.core.engine import _batch_buckets, pick_bucket
+    from rag_serving_system_tpu.config import Settings
+
+    s = Settings(model_preset="tiny", batch_buckets=[1, 4], max_batch_size=9)
+    buckets = _batch_buckets(s)
+    assert buckets[-1] == 9
+    assert pick_bucket(buckets, 7) == 9
+    s2 = Settings(model_preset="tiny", batch_buckets=[1, 4, 8], max_batch_size=8)
+    assert _batch_buckets(s2) == [1, 4, 8]

@@ -128,3 +128,47 @@ def test_eos_stops_and_pads(dec_params):
             assert t == cfg.pad_token_id
         if t == cfg.eos_token_id:
             seen_eos = True
+
+
+def test_row_valid_pad_rows_emit_only_pad(dec_params):
+    """Batch-padding rows (row_valid=False) are born done: they emit only
+    pad_token_id and never defeat the all-done early exit."""
+    cfg = QWEN2_TINY
+    prompts = [[7, 23, 99, 45], [100, 3, 88, 12], [1, 2, 3, 4], [9, 9, 9, 9]]
+    ids = jnp.asarray(prompts, dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    row_valid = jnp.asarray([True, True, False, False])
+    toks = np.asarray(generate(dec_params, cfg, ids, mask, jax.random.PRNGKey(0),
+                               max_new_tokens=6, do_sample=True,
+                               dtype=jnp.float32, row_valid=row_valid))
+    assert (toks[2:] == cfg.pad_token_id).all()
+    # real rows unaffected by the pad rows being marked done
+    base = np.asarray(generate(dec_params, cfg, ids, mask, jax.random.PRNGKey(0),
+                               max_new_tokens=6, do_sample=True,
+                               dtype=jnp.float32))
+    np.testing.assert_array_equal(toks[:2], base[:2])
+
+
+def test_early_exit_with_pad_rows(dec_params):
+    """When every REAL row hits EOS, decode stops even though pad rows never
+    sample EOS: everything after the real rows' EOS must be pad."""
+    import dataclasses
+
+    cfg = QWEN2_TINY
+    prompt = [7, 23, 99, 45]
+    ids = jnp.asarray([prompt, prompt], dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    # find the greedy first token, then make THAT token the EOS id so the
+    # real row finishes at step 0
+    first = int(np.asarray(generate(dec_params, cfg, ids, mask,
+                                    jax.random.PRNGKey(0), max_new_tokens=1,
+                                    do_sample=False, dtype=jnp.float32))[0, 0])
+    cfg_eos = dataclasses.replace(cfg, eos_token_id=first)
+    row_valid = jnp.asarray([True, False])
+    toks = np.asarray(generate(dec_params, cfg_eos, ids, mask,
+                               jax.random.PRNGKey(0), max_new_tokens=6,
+                               do_sample=False, dtype=jnp.float32,
+                               row_valid=row_valid))
+    assert toks[0, 0] == first
+    assert (toks[0, 1:] == cfg_eos.pad_token_id).all()
+    assert (toks[1] == cfg_eos.pad_token_id).all()

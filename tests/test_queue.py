@@ -175,3 +175,20 @@ def test_redis_queue_metrics(redis_queue):
     time.sleep(0.05)
     assert redis_queue.queue_size() == 1
     assert redis_queue.oldest_wait_time() >= 0.04
+
+
+def test_in_memory_oldest_wait_time():
+    """The in-memory backend must report the oldest queued item's wait (the
+    Redis backend's lindex-0 semantics) so /metrics and wait-based
+    backpressure work in single-replica mode."""
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.05)
+    assert q.oldest_wait_time() == 0.0
+    q.add_request("a", 1)
+    time.sleep(0.05)
+    q.add_request("b", 1)
+    w = q.oldest_wait_time()
+    assert w >= 0.05
+    # oldest reflects the FIRST item, not the latest
+    assert q.oldest_wait_time() >= w
+    q.get_batch()  # drains both
+    assert q.oldest_wait_time() == 0.0

@@ -46,3 +46,34 @@ def test_sharded_retrieval_matches_unsharded(sharded_engine):
     queries = ["what is the answer to question 7?", "question 13?"]
     assert (sharded_engine.embed_and_retrieve(queries, [3, 4])
             == single.embed_and_retrieve(queries, [3, 4]))
+
+
+def test_sharded_topk_exact_with_padding_and_negative_sims():
+    """Zero-padded corpus rows score 0 and could displace real rows with
+    NEGATIVE cosine similarity from a shard's local top-k; the widened
+    per-shard selection must keep the global result exact (advisor finding,
+    round 1)."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from rag_serving_system_tpu.ops.topk import cosine_topk_reference
+    from rag_serving_system_tpu.parallel.sharded_topk import (
+        shard_corpus, sharded_cosine_topk)
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(4, 2),
+                axis_names=("data", "model"))
+    rng = np.random.default_rng(7)
+    for n, k in [(100, 5), (5, 5), (13, 3), (130, 16)]:
+        d = 64
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+        # queries anti-aligned with the corpus → mostly negative similarities
+        queries = -corpus[:3] + 0.01 * rng.standard_normal((3, d)).astype(np.float32)
+        kk = min(k, n)
+        cs = shard_corpus(jnp.asarray(corpus), mesh)
+        s, i = sharded_cosine_topk(cs, jnp.asarray(queries), kk, mesh, valid_n=n)
+        s_ref, i_ref = cosine_topk_reference(jnp.asarray(corpus),
+                                             jnp.asarray(queries), kk)
+        np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref),
+                                      err_msg=f"n={n} k={kk}")
+        np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
+                                   atol=1e-5, err_msg=f"n={n} k={kk}")
