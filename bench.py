@@ -87,9 +87,12 @@ def main() -> None:
         config = ("squad_real"
                   if mode != "tiny" and os.path.exists(REF_DATA)
                   else "squad_synthetic")
-    # weight-only int8 decode is the production serving config (per-channel,
-    # near-lossless); override with QUANT_WEIGHTS=none for the bf16 number
+    # weight-only int8 decode + W8A8 prefill is the production serving config
+    # (per-channel weights, dynamic per-token activations — prefill logits
+    # track bf16 at cos > 0.999, tests/test_quant.py); override with
+    # QUANT_WEIGHTS=none / QUANT_ACT=none for the bf16 numbers
     os.environ.setdefault("QUANT_WEIGHTS", "int8")
+    os.environ.setdefault("QUANT_ACT", "int8")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
 
@@ -98,7 +101,7 @@ def main() -> None:
         batch_buckets=[batch],
         encode_len_buckets=[32, 64],
         prompt_len_buckets=[64, 96, 128] if config == "short_facts"
-        else [256, 512, 1024],
+        else [192, 256, 384, 448, 512, 640, 1024],
         max_new_tokens=10,
         max_k=16,
         max_batch_size=batch,
@@ -138,6 +141,21 @@ def main() -> None:
     t0 = time.time()
     engine.process(queries, ks)  # compile
     print(f"[bench] first batch (compile) {time.time() - t0:.1f}s", file=sys.stderr)
+    if config != "short_facts":
+        # warm every prompt bucket the length-aware scheduler can reach, so
+        # no XLA compile lands inside the timed run (persistent cache makes
+        # repeat runs cheap)
+        from rag_serving_system_tpu.core.engine import PROMPT_TEMPLATE
+
+        for b in settings.prompt_len_buckets:
+            if b > 800:
+                continue
+            filler = " ".join(["corpus"] * max(b - 30, 8))
+            t0 = time.time()
+            engine.generate_answers(
+                [PROMPT_TEMPLATE.format(context=filler, question="q?")] * batch)
+            print(f"[bench] warmed prompt bucket {b} in {time.time()-t0:.1f}s",
+                  file=sys.stderr)
     t0 = time.time()
     engine.process(queries, ks)  # warm
     warm = time.time() - t0

@@ -80,6 +80,9 @@ class Settings:
     model_preset: str = field(default_factory=lambda: _env("MODEL_PRESET", "full"))
     # weight-only quantization for the decoder: 'none' | 'int8'
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
+    # activation quantization for the PREFILL matmuls (W8A8 on the MXU's
+    # int8 path): 'none' | 'int8'; requires quant_weights=int8
+    quant_act: str = field(default_factory=lambda: _env("QUANT_ACT", "none"))
 
 
 def load_dotenv(path: str = ".env") -> None:

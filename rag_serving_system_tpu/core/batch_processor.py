@@ -28,16 +28,19 @@ class BatchProcessor(threading.Thread):
     (MAX_WAIT_TIME) overlaps TPU compute instead of stalling it."""
 
     def __init__(self, request_queue, engine: RagEngine,
-                 polling_interval: float = 0.3, prefetch: bool = True):
+                 polling_interval: float = 0.3, prefetch: bool = True,
+                 length_aware: bool = True):
         super().__init__(daemon=True)
         self.request_queue = request_queue
         self.engine = engine
         self.polling_interval = polling_interval
         self.prefetch = prefetch
+        self.length_aware = length_aware
         self.running = False
         self._busy = False            # stage-2 executing
         self._stage1_busy = False     # prefetch thread holds a dequeued batch
         self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=1)
+        self._pending = None          # deferred (request_ids, token handle)
         # rolling stats for observability
         self.batches_processed = 0
         self.requests_processed = 0
@@ -47,7 +50,16 @@ class BatchProcessor(threading.Thread):
         """Form the next batch AND run pipeline stage 1 (embed + retrieve +
         prompt build) while the main thread generates the current batch.
         On a single device the XLA programs still serialize, but all host
-        work, dispatch latency, and the get_batch wait hide under decode."""
+        work, dispatch latency, and the get_batch wait hide under decode.
+
+        Length-aware regrouping: prompt length is dominated by the retrieved
+        CONTEXTS (unknown until stage 1), and prefill pads every row to the
+        batch max — one long prompt drags a whole batch into the next
+        sequence bucket. When the queue is deep enough for two batches, both
+        are prepared together and their prompts re-partitioned by token
+        length, so short-prompt batches prefill in a small bucket instead of
+        paying for the longest row of an arbitrary FIFO slice. Reordering is
+        bounded to this two-batch window (no starvation)."""
         while self.running:
             try:
                 batch = self.request_queue.get_batch()
@@ -56,10 +68,22 @@ class BatchProcessor(threading.Thread):
                     continue
                 self._stage1_busy = True
                 try:
+                    cap = getattr(self.request_queue, "max_batch_size", len(batch))
+                    if (self.length_aware and len(batch) == cap
+                            and self.request_queue.queue_size() >= cap):
+                        batch += self.request_queue.get_batch()
                     queries = [req["query"] for req in batch]
                     ks = [req.get("k", 2) for req in batch]
                     prompts = self.engine.prepare(queries, ks)
-                    ready.put((batch, prompts))  # bounded: blocks at 1 in flight
+                    if len(batch) > cap:
+                        order = sorted(range(len(batch)),
+                                       key=lambda i: len(prompts[i]))
+                        for lo in range(0, len(order), cap):
+                            grp = order[lo:lo + cap]
+                            ready.put(([batch[i] for i in grp],
+                                       [prompts[i] for i in grp]))
+                    else:
+                        ready.put((batch, prompts))  # bounded: blocks at 1 in flight
                 except Exception as e:
                     logger.exception("stage-1 error; failing batch")
                     for req in batch:
@@ -86,6 +110,9 @@ class BatchProcessor(threading.Thread):
                     try:
                         batch, prompts = ready.get(timeout=self.polling_interval)
                     except queue.Empty:
+                        # idle: deliver any deferred results immediately so
+                        # low-traffic latency stays bounded by poll interval
+                        self._flush_pending()
                         continue
                     self._busy = True
                     try:
@@ -108,23 +135,43 @@ class BatchProcessor(threading.Thread):
             except Exception:  # keep serving no matter what (reference bp.py:68)
                 self._busy = False
                 logger.exception("batch loop error")
+        self._flush_pending()  # deliver the last deferred batch on shutdown
         logger.info("BatchProcessor stopped.")
 
     def _generate_and_store(self, batch: list, prompts: list) -> None:
-        """Pipeline stage 2: generation + result delivery."""
+        """Pipeline stage 2: dispatch generation for THIS batch (async on
+        device), then deliver the PREVIOUS batch's results while the device
+        runs — token transfer/detokenize/store never stall the device."""
         request_ids = [req["id"] for req in batch]
         try:
-            answers = self.engine.generate_answers(prompts)
+            handle = self.engine.generate_tokens(prompts)
+            pending, self._pending = self._pending, (request_ids, handle)
+            if pending is not None:
+                self._finalize_and_store(*pending)
+        except Exception as e:
+            logger.exception("stage-2 error for batch %s", request_ids)
+            for rid in request_ids:
+                self.request_queue.store_result(
+                    rid, {"error": str(e), "status": "failed"})
+
+    def _finalize_and_store(self, request_ids: list, handle) -> None:
+        try:
+            answers = self.engine.finalize_tokens(handle)
             for rid, ans in zip(request_ids, answers):
                 try:
                     self.request_queue.store_result(rid, {"result": ans})
                 except Exception as e:
                     logger.error("error storing result for %s: %s", rid, e)
         except Exception as e:
-            logger.exception("stage-2 error for batch %s", request_ids)
+            logger.exception("finalize error for batch %s", request_ids)
             for rid in request_ids:
                 self.request_queue.store_result(
                     rid, {"error": str(e), "status": "failed"})
+
+    def _flush_pending(self) -> None:
+        pending, self._pending = self._pending, None
+        if pending is not None:
+            self._finalize_and_store(*pending)
 
     def _process_batch(self, batch: list) -> None:
         request_ids = [req["id"] for req in batch]
@@ -156,3 +203,7 @@ class BatchProcessor(threading.Thread):
                 or self._ready.unfinished_tasks > 0):
             time.sleep(0.02)
         self.running = False
+        # run() flushes the deferred batch on exit; if the thread was never
+        # started (or already dead), deliver it here so nothing is lost
+        if not self.is_alive():
+            self._flush_pending()

@@ -135,6 +135,11 @@ class RagEngine:
 
             self.dec_params = quantize_decoder_params(self.dec_params)
             logger.info("decoder weights quantized to int8 (per-channel)")
+        self.act_quant = (settings.quant_act == "int8"
+                          and settings.quant_weights == "int8")
+        if settings.quant_act == "int8" and not self.act_quant:
+            logger.warning("QUANT_ACT=int8 requires QUANT_WEIGHTS=int8; "
+                           "prefill stays bf16")
 
         self.enc_tok = (get_tokenizer(settings.embed_model_name, self.enc_cfg.vocab_size)
                         if enc_real else
@@ -258,6 +263,14 @@ class RagEngine:
             for i in range(0, len(prompts), cap):
                 out.extend(self._generate_answers(prompts[i:i + cap]))
             return out
+        return self.finalize_tokens(self.generate_tokens(prompts))
+
+    def generate_tokens(self, prompts: List[str]):
+        """Dispatch generation; returns an opaque handle WITHOUT forcing the
+        device→host transfer. JAX dispatch is async, so the caller can keep
+        the device busy (next batch's prefill) and `finalize_tokens` the
+        previous handle while this one runs — the token transfer, host
+        detokenize, and result delivery all leave the critical path."""
         bsz = pick_bucket(self.batch_buckets, len(prompts))
         padded = prompts + [""] * (bsz - len(prompts))
         rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
@@ -275,10 +288,16 @@ class RagEngine:
                         self._put_batch(ids), self._put_batch(mask), rng,
                         max_new_tokens=self.settings.max_new_tokens,
                         do_sample=self.settings.do_sample, dtype=self.dtype,
-                        row_valid=self._put_batch(row_valid))
-        toks = np.asarray(toks)
+                        row_valid=self._put_batch(row_valid),
+                        act_quant=self.act_quant)
+        return toks, len(prompts)
+
+    def finalize_tokens(self, handle) -> List[str]:
+        """Block on the device tokens and detokenize (see generate_tokens)."""
+        toks_dev, n = handle
+        toks = np.asarray(toks_dev)
         out = []
-        for i in range(len(prompts)):
+        for i in range(n):
             row = [t for t in toks[i]
                    if t not in (self.dec_cfg.pad_token_id, self.dec_cfg.eos_token_id)]
             out.append(self.dec_tok.decode(row))

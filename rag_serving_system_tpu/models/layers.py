@@ -15,13 +15,40 @@ NEG_INF = -1.0e9  # additive attention-mask value (f32-safe, avoids NaN in softm
 
 def dense(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     """x: (..., in) @ w: (in, out) [+ b]. `w` may be a plain array or an
-    ops.quant.QuantizedWeight (int8 + per-channel scale); the dequant fuses
-    into the matmul operand load, halving weight HBM traffic."""
+    ops.quant.QuantizedWeight (int8 + per-output-channel scale).
+
+    int8 path: matmul against the raw int8 matrix (cast-to-bf16 on load —
+    int8 magnitudes ≤127 are exact in bf16, and the convert fuses into the
+    MXU operand stream) and apply the (1, out) scale to the OUTPUT. This is
+    mathematically identical to dequant-then-matmul but guarantees no f32/
+    bf16 weight copy is ever materialized in HBM — the weight stream stays
+    1 byte/element, which is the whole point of int8 decode."""
     if hasattr(w, "q"):  # QuantizedWeight
-        wmat = (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
+        y = jnp.einsum("...i,io->...o", x, w.q.astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = y * w.scale  # (1, out) f32 — fused epilogue, not a weight copy
     else:
-        wmat = w
-    y = jnp.einsum("...i,io->...o", x, wmat, preferred_element_type=jnp.float32)
+        y = jnp.einsum("...i,io->...o", x, w, preferred_element_type=jnp.float32)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y.astype(x.dtype)
+
+
+def dense_w8a8(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
+    """W8A8 matmul: dynamic per-token int8 activations x per-channel int8
+    weights on the MXU's int8 path (int32 accumulate), rescaled in f32.
+
+    Only worth it when the matmul is COMPUTE-bound (prefill); decode is
+    weight-bandwidth-bound and gains nothing from quantizing activations.
+    Falls back to `dense` for un-quantized weights."""
+    if not hasattr(w, "q"):
+        return dense(x, w, b)
+    from rag_serving_system_tpu.ops.quant import quantize_act_int8
+
+    xq, xs = quantize_act_int8(x)
+    acc = jnp.einsum("...i,io->...o", xq, w.q,
+                     preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * xs * w.scale   # (...,1)*(1,out) broadcast
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.astype(x.dtype)

@@ -36,6 +36,7 @@ from rag_serving_system_tpu.models.layers import (
     attention,
     causal_padding_bias,
     dense,
+    dense_w8a8,
     rms_norm,
     rope_freqs,
     silu,
@@ -49,20 +50,22 @@ class KVCache(NamedTuple):
     v: tuple
 
 
-def _qkv(params, cfg, x, b, s):
+def _qkv(params, cfg, x, b, s, act_quant=False):
     qd = cfg.num_heads * cfg.head_dim
     kvd = cfg.num_kv_heads * cfg.head_dim
-    qkv = dense(x, params["qkv_w"], params["qkv_b"])
+    mm = dense_w8a8 if act_quant else dense
+    qkv = mm(x, params["qkv_w"], params["qkv_b"])
     q = qkv[..., :qd].reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = qkv[..., qd:qd + kvd].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = qkv[..., qd + kvd:].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     return q, k, v
 
 
-def _mlp(params, x):
-    gu = dense(x, params["gu_w"])
+def _mlp(params, x, act_quant=False):
+    mm = dense_w8a8 if act_quant else dense
+    gu = mm(x, params["gu_w"])
     f = gu.shape[-1] // 2
-    return dense(silu(gu[..., :f]) * gu[..., f:], params["down_w"])
+    return mm(silu(gu[..., :f]) * gu[..., f:], params["down_w"])
 
 
 def embed_lookup(params: dict, ids: jax.Array, dtype) -> jax.Array:
@@ -80,9 +83,10 @@ def logits_from_hidden(params: dict, cfg: DecoderConfig, x: jax.Array) -> jax.Ar
     head = params.get("lm_head")
     if head is not None:
         if hasattr(head, "q"):
-            head_mat = ((head.q.astype(jnp.float32)) * head.scale).astype(x.dtype)
-            return jnp.einsum("...h,hv->...v", x, head_mat,
-                              preferred_element_type=jnp.float32)
+            # scale applied to the output column — no dequantized copy
+            raw = jnp.einsum("...h,hv->...v", x, head.q.astype(x.dtype),
+                             preferred_element_type=jnp.float32)
+            return raw * head.scale[0]
         return jnp.einsum("...h,hv->...v", x, head.astype(x.dtype),
                           preferred_element_type=jnp.float32)
     emb = params["embed"]
@@ -102,6 +106,7 @@ def prefill(
     attention_mask: jax.Array,  # (B, P) int32
     max_new_tokens: int,
     dtype=jnp.bfloat16,
+    act_quant: bool = False,    # W8A8 matmuls (prefill is compute-bound)
 ) -> tuple[jax.Array, KVCache]:
     """Full forward over the prompt. Returns (last-position logits (B, V) f32,
     KV cache sized P + max_new_tokens)."""
@@ -116,26 +121,31 @@ def prefill(
 
     # Pallas flash attention for long prompt buckets on TPU: the XLA einsum
     # path materializes a (B, Hk, G, P, P) f32 score tensor in HBM; flash
-    # streams key/value blocks through VMEM with online softmax.
+    # streams key/value blocks through VMEM with online softmax. 256-multiple
+    # buckets only: the kernel's dynamic mask load needs 256-aligned offsets
+    # (Mosaic rejects 128-strided dynamic loads on this target).
     use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 256 == 0
                  and cfg.head_dim % 128 == 0)
+    flash_blk = 256
     bias = None if use_flash else causal_padding_bias(attention_mask)
 
+    mm = dense_w8a8 if act_quant else dense
     ks, vs = [], []
     for layer in params["layers"]:
         h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(layer, cfg, h, b, p)
+        q, k, v = _qkv(layer, cfg, h, b, p, act_quant=act_quant)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         if use_flash:
             from rag_serving_system_tpu.ops.attention import flash_attention
-            a = flash_attention(q, k, v, attention_mask, causal=True)
+            a = flash_attention(q, k, v, attention_mask, causal=True,
+                                blk_q=flash_blk, blk_k=flash_blk)
         else:
             a = attention(q, k, v, bias)
         a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
-        x = x + dense(a, layer["o_w"])
+        x = x + mm(a, layer["o_w"])
         h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _mlp(layer, h, act_quant=act_quant)
         pad_t = t_max - p
         ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
@@ -207,8 +217,17 @@ def sample_token(
 
     Runs entirely in the (B, top_k) candidate space: one vocab-wide top_k,
     then temperature/top-p/categorical over K values, then an index map back
-    — avoids a second 150k-wide pass and a full-vocab gumbel."""
-    vals, idx = jax.lax.top_k(logits, top_k)                 # (B, K) desc
+    — avoids a second 150k-wide pass and a full-vocab gumbel.
+
+    The vocab-wide selection uses the TPU's hardware approximate top-k
+    (`lax.approx_max_k`, recall ≥0.98): exact `lax.top_k` over a 152k vocab
+    costs ~1.8 ms/step on v5e — more than a whole decode matmul pass — and
+    for a stochastic top-20 *filter* the approximation is quality-neutral
+    (candidates are re-sorted exactly; only the tail boundary can differ)."""
+    if jax.default_backend() == "tpu":
+        vals, idx = jax.lax.approx_max_k(logits, top_k, recall_target=0.98)
+    else:
+        vals, idx = jax.lax.top_k(logits, top_k)             # (B, K) desc
     vals = vals / jnp.float32(max(temperature, 1e-5))
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
@@ -222,7 +241,7 @@ def sample_token(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
-                     "do_sample", "dtype"),
+                     "do_sample", "dtype", "act_quant"),
 )
 def generate(
     params: dict,
@@ -237,6 +256,7 @@ def generate(
     do_sample: bool = True,
     dtype=jnp.bfloat16,
     row_valid: jax.Array | None = None,   # (B,) bool — False for pad rows
+    act_quant: bool = False,              # W8A8 prefill (decode unaffected)
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
@@ -249,7 +269,7 @@ def generate(
     """
     b, p = input_ids.shape
     logits0, cache = prefill(params, cfg, input_ids, attention_mask,
-                             max_new_tokens, dtype=dtype)
+                             max_new_tokens, dtype=dtype, act_quant=act_quant)
 
     def pick(logits, rng):
         if do_sample:

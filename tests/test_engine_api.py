@@ -223,3 +223,38 @@ def test_batch_buckets_cover_max_batch_size():
     assert pick_bucket(buckets, 7) == 9
     s2 = Settings(model_preset="tiny", batch_buckets=[1, 4, 8], max_batch_size=8)
     assert _batch_buckets(s2) == [1, 4, 8]
+
+
+class _StubEngine:
+    """Minimal engine double: prompt = query text, answer = f(prompt)."""
+
+    def prepare(self, queries, ks):
+        return [f"P:{q}" for q in queries]
+
+    def generate_tokens(self, prompts):
+        return list(prompts)
+
+    def finalize_tokens(self, handle):
+        return [f"ans:{p}" for p in handle]
+
+    def generate_answers(self, prompts):
+        return self.finalize_tokens(self.generate_tokens(prompts))
+
+
+def test_length_aware_regrouping_preserves_request_mapping():
+    """The two-batch length-sorted regrouping must deliver every request its
+    OWN answer (no index mixups across the reordered window)."""
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.05, polling_interval=0.01)
+    # enqueue before starting the processor so the first get_batch sees a
+    # full batch AND a deep queue (triggers the two-batch window)
+    queries = [("long " * (50 if i % 2 else 1)) + f"q{i}" for i in range(12)]
+    rids = [q.add_request(text, 1) for text in queries]
+    proc = BatchProcessor(q, _StubEngine(), polling_interval=0.01)
+    proc.start()
+    try:
+        for rid, text in zip(rids, queries):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None
+            assert res["result"] == f"ans:P:{text}"
+    finally:
+        proc.stop()
