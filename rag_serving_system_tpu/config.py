@@ -78,6 +78,11 @@ class Settings:
     weights_dir: Optional[str] = field(default_factory=lambda: os.environ.get("WEIGHTS_DIR"))
     # model size preset for offline/random-init mode: 'full' | 'tiny'
     model_preset: str = field(default_factory=lambda: _env("MODEL_PRESET", "full"))
+    # corpus streaming dtype for retrieval: 'float32' (oracle-exact, default)
+    # | 'bfloat16' (half the HBM bytes, ~2x top-k speed at >=1M docs;
+    # near-tie order may differ from the f32 oracle)
+    retrieval_corpus_dtype: str = field(
+        default_factory=lambda: _env("RETRIEVAL_CORPUS_DTYPE", "float32"))
     # weight-only quantization for the decoder: 'none' | 'int8'
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
     # activation quantization for the PREFILL matmuls (W8A8 on the MXU's

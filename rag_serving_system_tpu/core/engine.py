@@ -170,11 +170,14 @@ class RagEngine:
         emb = _l2n(emb)
         self.n_docs = emb.shape[0]
         self.mesh = mesh
+        corpus_dt = (jnp.bfloat16
+                     if settings.retrieval_corpus_dtype == "bfloat16"
+                     else jnp.float32)
         n_dev = 1 if mesh is None else mesh.devices.size
         if n_dev > 1:
-            self.corpus = shard_corpus(jnp.asarray(emb), mesh)
+            self.corpus = shard_corpus(jnp.asarray(emb, dtype=corpus_dt), mesh)
         else:
-            self.corpus = jax.device_put(jnp.asarray(emb))
+            self.corpus = jax.device_put(jnp.asarray(emb, dtype=corpus_dt))
         self.use_pallas = jax.default_backend() == "tpu"
         self.max_k = min(settings.max_k, self.n_docs)
         self._rng = jax.random.PRNGKey(0)

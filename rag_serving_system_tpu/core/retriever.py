@@ -71,13 +71,18 @@ class TpuRetriever:
     """
 
     def __init__(self, embeddings: np.ndarray, documents: Sequence[str],
-                 max_k: int = 16, use_pallas: bool | None = None):
+                 max_k: int = 16, use_pallas: bool | None = None,
+                 corpus_dtype: str = "float32"):
         self.documents = list(documents)
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
         corpus = _l2n(np.asarray(embeddings, dtype=np.float32))
-        self.corpus = jax.device_put(jnp.asarray(corpus))
+        # bf16 streaming halves the corpus HBM bytes (~2x retrieval speed for
+        # large corpora); near-tie orderings can differ from the f32 oracle,
+        # so exact-parity deployments keep the default f32
+        dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
+        self.corpus = jax.device_put(jnp.asarray(corpus, dtype=dt))
         self.n = corpus.shape[0]
         self.max_k = min(max_k, self.n)
 

@@ -101,14 +101,17 @@ def _topk_kernel(q_ref, c_ref, scores_out, idx_out, run_s, run_i, *, k, block_n,
         run_s[:] = jnp.full_like(run_s, NEG_INF)
         run_i[:] = jnp.zeros_like(run_i)
 
-    q = q_ref[:]                       # (B, D) f32 — resident every step
+    q = q_ref[:]                       # (B, D) — resident every step
     c = c_ref[:]                       # (BLOCK_N, D)
-    # MXU: (B, D) @ (D, BLOCK_N)
+    # MXU: (B, D) @ (D, BLOCK_N); f32 accumulate either way. HIGHEST forces
+    # true-f32 contraction for f32 operands; bf16 operands use the native
+    # bf16 MXU path (Mosaic rejects fp32 contract precision on bf16 vectors)
     s = jax.lax.dot_general(
         q, c,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=(jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                   else jax.lax.Precision.DEFAULT),
     )                                   # (B, BLOCK_N)
 
     base = step * block_n
@@ -140,26 +143,35 @@ def _round_up(x: int, m: int) -> int:
 
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
 def cosine_topk_pallas(
-    corpus: jax.Array,      # (N, D) pre-normalized
+    corpus: jax.Array,      # (N, D) pre-normalized, f32 or bf16
     queries: jax.Array,     # (B, D)
     k: int,
     block_n: int = 2048,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Fused streaming cosine top-k. Returns ((B,k) f32 scores, (B,k) i32 indices)."""
+    """Fused streaming cosine top-k. Returns ((B,k) f32 scores, (B,k) i32 indices).
+
+    The corpus streams in ITS OWN dtype: pass a bf16 corpus to halve the HBM
+    bytes (the op is corpus-bandwidth-bound, so that's ~2x; scores still
+    accumulate in f32 on the MXU). bf16 scores can reorder near-ties relative
+    to the f32 oracle — callers that need oracle-exact index sets (the
+    default serving path) keep the corpus f32."""
     n, d = corpus.shape
     b = queries.shape[0]
-    q = _l2_normalize(queries).astype(jnp.float32)
-    c32 = corpus.astype(jnp.float32)
+    c_dtype = corpus.dtype if corpus.dtype == jnp.bfloat16 else jnp.float32
+    itemsize = 2 if c_dtype == jnp.bfloat16 else 4
+    q = _l2_normalize(queries).astype(c_dtype)
+    c = corpus.astype(c_dtype)
 
     # VMEM budget: the corpus block is double-buffered by the pallas pipeline
-    # (2 * block_n * d * 4 bytes) and must leave room for q, scratch, and the
-    # (B, block_n) score tile — target ~2.5 MB per corpus block
-    vmem_block_cap = max(128, (2_500_000 // (4 * d)) // 128 * 128)
+    # (2 * block_n * d * itemsize) and must leave room for q, scratch, and
+    # the (B, block_n) score tile inside the 16 MB scoped-VMEM limit —
+    # target ~4 MB per corpus block (larger blocks amortize DMA latency)
+    vmem_block_cap = max(128, (4_200_000 // (itemsize * d)) // 128 * 128)
     block_n = min(block_n, vmem_block_cap, _round_up(n, 128))
     n_pad = _round_up(n, block_n)
     if n_pad != n:
-        c32 = jnp.pad(c32, ((0, n_pad - n), (0, 0)))
+        c = jnp.pad(c, ((0, n_pad - n), (0, 0)))
     # top-k buffer width must stay lane-friendly; keep k as-is (small) —
     # concat width BLOCK_N + k handled fine by Mosaic.
     nsteps = n_pad // block_n
@@ -186,11 +198,11 @@ def cosine_topk_pallas(
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n_pad * d,
-            bytes_accessed=n_pad * d * 4 + b * d * 4 + 2 * b * k * 4,
+            bytes_accessed=n_pad * d * itemsize + b * d * itemsize + 2 * b * k * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(q, c32)
+    )(q, c)
     return scores, idx
 
 

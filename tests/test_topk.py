@@ -73,3 +73,19 @@ def test_unnormalized_queries_ok(rng):
     s, i = cosine_topk_pallas(jnp.asarray(corpus), jnp.asarray(queries), 5,
                               block_n=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(ref_i))
+
+
+def test_pallas_bf16_corpus_matches_bf16_oracle():
+    """bf16 corpus streaming: the kernel must produce the same top-k as the
+    f32 oracle evaluated on the bf16-cast corpus (values identical up to
+    f32 accumulation order)."""
+    rng = np.random.default_rng(11)
+    corpus = rng.standard_normal((300, 128)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = rng.standard_normal((4, 128)).astype(np.float32)
+    c_bf = jnp.asarray(corpus, dtype=jnp.bfloat16)
+    s, i = cosine_topk_pallas(c_bf, jnp.asarray(queries), 5, interpret=True)
+    s_ref, i_ref = cosine_topk_reference(
+        c_bf.astype(jnp.float32), jnp.asarray(queries), 5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=2e-3)
