@@ -157,7 +157,12 @@ def main() -> None:
             print(f"[bench] warmed prompt bucket {b} in {time.time()-t0:.1f}s",
                   file=sys.stderr)
     t0 = time.time()
-    engine.process(queries, ks)  # warm
+    # JAX_TRACE_DIR=<dir> records a jax.profiler trace of one warm batch
+    # (used to verify e.g. that the int8 dequant fuses — PERFORMANCE.md)
+    from rag_serving_system_tpu.utils.timing import device_trace
+
+    with device_trace(os.environ.get("JAX_TRACE_DIR")):
+        engine.process(queries, ks)  # warm
     warm = time.time() - t0
     print(f"[bench] warm batch (engine serial) {warm:.3f}s", file=sys.stderr)
 
