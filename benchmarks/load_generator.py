@@ -92,7 +92,8 @@ async def run_load_test(endpoint: str, pattern: str, rps: int, duration: int,
     metrics.start_test()
     t0 = time.time()
     tasks = []
-    connector = aiohttp.TCPConnector(limit=512)
+    connector = aiohttp.TCPConnector(
+        limit=int(os.environ.get("LOADGEN_CONNECTIONS", "512")))
     async with aiohttp.ClientSession(connector=connector) as session:
         for i, ts_ms in enumerate(trace):
             # schedule each request at its wall-clock arrival time

@@ -34,27 +34,35 @@ print(f"P99={lat.get('p99', -1)}", file=sys.stderr)
 PYEOF
 }
 
-declare -A MAX_SUSTAINED
-rps_ladder() { # emits 1 5 10 15 ... MAX_RPS
+# STEP controls ladder granularity (reference steps +5; against a server
+# that saturates 20x higher, a coarser step keeps the sweep's wall time
+# sane — set STEP=5 for the byte-level reference protocol)
+STEP="${STEP:-5}"
+declare -A MAX_SUSTAINED STOPPED
+rps_ladder() { # emits 1 STEP 2*STEP ... MAX_RPS
   echo 1
-  local r=5
-  while [ "$r" -le "$MAX_RPS" ]; do echo "$r"; r=$((r + 5)); done
+  local r=$STEP
+  while [ "$r" -le "$MAX_RPS" ]; do echo "$r"; r=$((r + STEP)); done
 }
 
-for PATTERN in uniform random; do
-  SEED_BASE=$SEED_BASE_UNIFORM
-  [ "$PATTERN" = "random" ] && SEED_BASE=$SEED_BASE_RANDOM
-  MAX_SUSTAINED[$PATTERN]=0
-  i=0
-  for RPS in $(rps_ladder); do
-    i=$((i + 1))
+MAX_SUSTAINED[uniform]=0; MAX_SUSTAINED[random]=0
+STOPPED[uniform]=0; STOPPED[random]=0
+i=0
+# patterns run INTERLEAVED per RPS rung (reference load_test.sh:164-168):
+# uniform then random at each step, so both see the same thermal/cache state
+for RPS in $(rps_ladder); do
+  i=$((i + 1))
+  for PATTERN in uniform random; do
+    [ "${STOPPED[$PATTERN]}" = "1" ] && continue
+    SEED_BASE=$SEED_BASE_UNIFORM
+    [ "$PATTERN" = "random" ] && SEED_BASE=$SEED_BASE_RANDOM
     SEED=$((SEED_BASE + i))
     OUT_JSON="$OUT_DIR/${PATTERN}_rps${RPS}.json"
     echo "=== pattern=$PATTERN rps=$RPS seed=$SEED duration=${DURATION}s ==="
     python benchmarks/load_generator.py \
       --endpoint "$ENDPOINT" --pattern "$PATTERN" --rps "$RPS" \
       --duration "$DURATION" --seed "$SEED" --timeout "$TIMEOUT" \
-      --output "$OUT_JSON" || { echo "run failed"; break; }
+      --output "$OUT_JSON" || { echo "run failed"; STOPPED[$PATTERN]=1; continue; }
     ROW=$(extract_metrics "$OUT_JSON" "$PATTERN" "$RPS" 2> /tmp/p99.txt)
     echo "$ROW" >> "$CSV"
     P99=$(sed 's/P99=//' /tmp/p99.txt)
@@ -62,10 +70,12 @@ for PATTERN in uniform random; do
     GATE_HIT=$(python -c "print(1 if float('$P99') >= float('$P99_GATE') else 0)")
     if [ "$GATE_HIT" = "1" ]; then
       echo "p99 >= ${P99_GATE}s — stopping $PATTERN ladder"
-      break
+      STOPPED[$PATTERN]=1
+    else
+      MAX_SUSTAINED[$PATTERN]=$RPS
     fi
-    MAX_SUSTAINED[$PATTERN]=$RPS
   done
+  [ "${STOPPED[uniform]}" = "1" ] && [ "${STOPPED[random]}" = "1" ] && break
 done
 
 echo

@@ -111,9 +111,19 @@ def create_api(request_queue, processor=None, engine=None,
     return app
 
 
-def run_app(app: web.Application, host: str, port: int) -> None:
-    """Blocking server run (uvicorn.run equivalent, reference main.py:72-76)."""
-    web.run_app(app, host=host, port=port, print=None)
+def run_app(app: web.Application, host: str, port: int,
+            access_log: bool = False) -> None:
+    """Blocking server run (uvicorn.run equivalent, reference main.py:72-76).
+
+    Per-request access logging is off by default: at saturation (hundreds of
+    req/s plus result polls) the logger itself becomes measurable overhead.
+    Enable with access_log=True / ACCESS_LOG=1."""
+    import os
+
+    if not access_log and os.environ.get("ACCESS_LOG", "0") not in ("1", "true"):
+        web.run_app(app, host=host, port=port, print=None, access_log=None)
+    else:
+        web.run_app(app, host=host, port=port, print=None)
 
 
 class ServerThread:

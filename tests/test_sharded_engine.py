@@ -77,3 +77,24 @@ def test_sharded_topk_exact_with_padding_and_negative_sims():
                                       err_msg=f"n={n} k={kk}")
         np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref),
                                    atol=1e-5, err_msg=f"n={n} k={kk}")
+
+
+def test_sharded_generation_value_parity(sharded_engine):
+    """Greedy tokens from the dp x tp mesh engine must EQUAL the 1-device
+    engine's for identical weights/corpus/seed — catches replication and
+    collective-placement bugs that shape tests cannot."""
+    from rag_serving_system_tpu.config import Settings
+    import dataclasses
+
+    greedy = dataclasses.replace(
+        Settings(model_preset="tiny", dtype="float32", batch_buckets=[1, 4],
+                 encode_len_buckets=[16, 32], prompt_len_buckets=[64],
+                 max_new_tokens=3, max_k=4),
+        do_sample=False)
+    docs = sharded_engine.documents
+    emb = np.asarray(jax.device_get(sharded_engine.corpus))[:64]
+    mesh = make_mesh("4,2")
+    queries = ["what is 4 times 4?", "and question 11?"]
+    res_mesh = RagEngine(greedy, docs, emb, mesh=mesh).process(queries, [2, 2])
+    res_single = RagEngine(greedy, docs, emb).process(queries, [2, 2])
+    assert res_mesh == res_single
