@@ -61,8 +61,13 @@ def build_app(settings=None, warmup: bool = True):
 
     engine = RagEngine(settings, documents, doc_embeddings, mesh=mesh)
     if warmup:
-        logger.info("warming up compiled buckets...")
-        engine.warmup([1, settings.max_batch_size])
+        # compile EVERY batch bucket up front: at low traffic the batch
+        # former produces in-between sizes (2, 4, ...), and an XLA compile
+        # landing on a live request means a 60 s latency spike (observed as
+        # a false p99-gate hit in the first load sweeps). The persistent
+        # compile cache makes this cheap on restarts.
+        logger.info("warming up compiled buckets %s...", engine.batch_buckets)
+        engine.warmup(engine.batch_buckets)
 
     request_queue = make_queue(settings)
     logger.info("queue backend: %s", type(request_queue).__name__)

@@ -116,3 +116,24 @@ def test_w8a8_generate_close_to_bf16_path():
     base, w8a8 = np.asarray(base), np.asarray(w8a8)
     cos = (base * w8a8).sum() / (np.linalg.norm(base) * np.linalg.norm(w8a8))
     assert cos > 0.999, cos
+
+
+def test_engine_serves_with_int8_and_w8a8():
+    """The production quant config (QUANT_WEIGHTS=int8 + QUANT_ACT=int8)
+    must serve end-to-end: quantized pytree through prefill/decode, pad-row
+    handling, detokenize."""
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    rng = np.random.default_rng(0)
+    docs = [f"Fact {i}: the answer is {i * i}." for i in range(20)]
+    emb = rng.standard_normal((20, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[1, 4], max_batch_size=4,
+                        encode_len_buckets=[16, 32], prompt_len_buckets=[64],
+                        max_new_tokens=3, max_k=4,
+                        quant_weights="int8", quant_act="int8")
+    engine = RagEngine(settings, docs, emb)
+    assert engine.act_quant
+    results = engine.process(["what is four times four?", "nine?"], [2, 2])
+    assert len(results) == 2 and all(isinstance(r["result"], str) for r in results)
