@@ -67,8 +67,13 @@ async def send_request(session, endpoint: str, query: str, k: int,
                 return
             body = await resp.json()
             request_id = body["request_id"]
+        # opt-in server-side long-poll (extension; default 0 keeps the
+        # reference's client-side polling protocol)
+        lp = float(os.environ.get("LOADGEN_SERVER_TIMEOUT", "0"))
+        suffix = f"?timeout={lp}" if lp > 0 else ""
         while time.time() < deadline:
-            async with session.get(f"{endpoint}/rag/result/{request_id}") as resp:
+            async with session.get(
+                    f"{endpoint}/rag/result/{request_id}{suffix}") as resp:
                 if resp.status == 200:
                     body = await resp.json()
                     if body.get("status") == "complete":

@@ -69,8 +69,16 @@ def create_api(request_queue, processor=None, engine=None,
 
     async def get_result(request: web.Request) -> web.Response:
         request_id = request.match_info["request_id"]
+        # optional server-side long-poll (?timeout=SECONDS, capped at 30):
+        # the in-memory backend waits on a threading.Event, so a long-poll
+        # costs one held pool thread instead of 3-4 client poll round trips.
+        # Default stays the reference's 0.1 s quick check.
+        try:
+            timeout = min(float(request.query.get("timeout", 0.1)), 30.0)
+        except ValueError:
+            timeout = 0.1
         result = await asyncio.get_event_loop().run_in_executor(
-            poll_pool, lambda: request_queue.get_result(request_id, 0.1))
+            poll_pool, lambda: request_queue.get_result(request_id, timeout))
         if result is None:
             return web.json_response({"status": "processing"})
         return web.json_response({"status": "complete", "result": result})

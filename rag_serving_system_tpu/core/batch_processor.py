@@ -36,6 +36,14 @@ class BatchProcessor(threading.Thread):
         self.polling_interval = polling_interval
         self.prefetch = prefetch
         self.length_aware = length_aware
+        # STAGE_PROMPTS=1 tokenizes+device_puts prompt batches on the
+        # prefetch thread instead of inside the dispatch call. Measured
+        # SLOWER on this host (A/B 395-408 vs 419-421 req/s): the extra
+        # thread's transfers contend with stage-2 dispatch on the GIL/
+        # dispatch lock. Kept as an option for hosts where tokenize time
+        # dominates dispatch latency.
+        import os
+        self.stage_on_prefetch = os.environ.get("STAGE_PROMPTS", "0") == "1"
         self.running = False
         self._busy = False            # stage-2 executing
         self._stage1_busy = False     # prefetch thread holds a dequeued batch
@@ -75,15 +83,20 @@ class BatchProcessor(threading.Thread):
                     queries = [req["query"] for req in batch]
                     ks = [req.get("k", 2) for req in batch]
                     prompts = self.engine.prepare(queries, ks)
+                    stage = (getattr(self.engine, "stage_prompts", None)
+                             if self.stage_on_prefetch else None)
                     if len(batch) > cap:
                         order = sorted(range(len(batch)),
                                        key=lambda i: len(prompts[i]))
                         for lo in range(0, len(order), cap):
                             grp = order[lo:lo + cap]
-                            ready.put(([batch[i] for i in grp],
-                                       [prompts[i] for i in grp]))
+                            gp = [prompts[i] for i in grp]
+                            ready.put(([batch[i] for i in grp], gp,
+                                       stage(gp) if stage else None))
                     else:
-                        ready.put((batch, prompts))  # bounded: blocks at 1 in flight
+                        # bounded: blocks at 1 in flight
+                        ready.put((batch, prompts,
+                                   stage(prompts) if stage else None))
                 except Exception as e:
                     logger.exception("stage-1 error; failing batch")
                     for req in batch:
@@ -108,7 +121,8 @@ class BatchProcessor(threading.Thread):
                 t0 = time.time()
                 if self.prefetch:
                     try:
-                        batch, prompts = ready.get(timeout=self.polling_interval)
+                        batch, prompts, staged = ready.get(
+                            timeout=self.polling_interval)
                     except queue.Empty:
                         # idle: deliver any deferred results immediately so
                         # low-traffic latency stays bounded by poll interval
@@ -116,7 +130,7 @@ class BatchProcessor(threading.Thread):
                         continue
                     self._busy = True
                     try:
-                        self._generate_and_store(batch, prompts)
+                        self._generate_and_store(batch, prompts, staged)
                     finally:
                         ready.task_done()  # pairs with put(); drives drain accounting
                 else:
@@ -138,13 +152,16 @@ class BatchProcessor(threading.Thread):
         self._flush_pending()  # deliver the last deferred batch on shutdown
         logger.info("BatchProcessor stopped.")
 
-    def _generate_and_store(self, batch: list, prompts: list) -> None:
+    def _generate_and_store(self, batch: list, prompts: list,
+                            staged=None) -> None:
         """Pipeline stage 2: dispatch generation for THIS batch (async on
         device), then deliver the PREVIOUS batch's results while the device
-        runs — token transfer/detokenize/store never stall the device."""
+        runs — token transfer/detokenize/store never stall the device.
+        With `staged` (device-resident prompt tensors prepared by the
+        prefetch thread), the dispatch here is latency-free host work."""
         request_ids = [req["id"] for req in batch]
         try:
-            handle = self.engine.generate_tokens(prompts)
+            handle = self.engine.generate_tokens(prompts, staged=staged)
             pending, self._pending = self._pending, (request_ids, handle)
             if pending is not None:
                 self._finalize_and_store(*pending)

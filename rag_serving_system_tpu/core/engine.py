@@ -268,12 +268,12 @@ class RagEngine:
             return out
         return self.finalize_tokens(self.generate_tokens(prompts))
 
-    def generate_tokens(self, prompts: List[str]):
-        """Dispatch generation; returns an opaque handle WITHOUT forcing the
-        device→host transfer. JAX dispatch is async, so the caller can keep
-        the device busy (next batch's prefill) and `finalize_tokens` the
-        previous handle while this one runs — the token transfer, host
-        detokenize, and result delivery all leave the critical path."""
+    def stage_prompts(self, prompts: List[str]):
+        """Tokenize, pad, and ship a prompt batch to the DEVICE. Runs on the
+        stage-1 (prefetch) thread so the tokenizer work and the host→device
+        transfers (3 tunnel puts — tens of ms of latency each under a remote
+        device) overlap the previous batch's generation instead of sitting on
+        the dispatch critical path."""
         bsz = pick_bucket(self.batch_buckets, len(prompts))
         padded = prompts + [""] * (bsz - len(prompts))
         rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
@@ -286,14 +286,28 @@ class RagEngine:
         mask[len(prompts):, -1] = 1  # keep pad rows well-defined
         # pad rows are born done so EOS early-exit fires on partial batches
         row_valid = np.arange(bsz) < len(prompts)
+        return (self._put_batch(ids), self._put_batch(mask),
+                self._put_batch(row_valid), len(prompts))
+
+    def generate_tokens(self, prompts: List[str] | None = None, staged=None):
+        """Dispatch generation; returns an opaque handle WITHOUT forcing the
+        device→host transfer. JAX dispatch is async, so the caller can keep
+        the device busy (next batch's prefill) and `finalize_tokens` the
+        previous handle while this one runs — the token transfer, host
+        detokenize, and result delivery all leave the critical path.
+
+        Pass `staged` (from stage_prompts, prepared on another thread) to
+        keep this call to a bare dispatch."""
+        if staged is None:
+            staged = self.stage_prompts(prompts)
+        ids, mask, row_valid, n = staged
         self._rng, rng = jax.random.split(self._rng)
-        toks = generate(self.dec_params, self.dec_cfg,
-                        self._put_batch(ids), self._put_batch(mask), rng,
+        toks = generate(self.dec_params, self.dec_cfg, ids, mask, rng,
                         max_new_tokens=self.settings.max_new_tokens,
                         do_sample=self.settings.do_sample, dtype=self.dtype,
-                        row_valid=self._put_batch(row_valid),
+                        row_valid=row_valid,
                         act_quant=self.act_quant)
-        return toks, len(prompts)
+        return toks, n
 
     def finalize_tokens(self, handle) -> List[str]:
         """Block on the device tokens and detokenize (see generate_tokens)."""

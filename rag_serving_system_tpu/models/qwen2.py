@@ -121,12 +121,12 @@ def prefill(
 
     # Pallas flash attention for long prompt buckets on TPU: the XLA einsum
     # path materializes a (B, Hk, G, P, P) f32 score tensor in HBM; flash
-    # streams key/value blocks through VMEM with online softmax. 256-multiple
-    # buckets only: the kernel's dynamic mask load needs 256-aligned offsets
-    # (Mosaic rejects 128-strided dynamic loads on this target).
-    use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 256 == 0
+    # streams key/value blocks through VMEM with online softmax. Any
+    # 128-multiple bucket qualifies (block size drops to 128 off the
+    # 256-multiples) — the mask tile is grid-indexed, no dynamic lane loads.
+    use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 128 == 0
                  and cfg.head_dim % 128 == 0)
-    flash_blk = 256
+    flash_blk = 256 if p % 256 == 0 else 128
     bias = None if use_flash else causal_padding_bias(attention_mask)
 
     mm = dense_w8a8 if act_quant else dense

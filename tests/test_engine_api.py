@@ -231,7 +231,7 @@ class _StubEngine:
     def prepare(self, queries, ks):
         return [f"P:{q}" for q in queries]
 
-    def generate_tokens(self, prompts):
+    def generate_tokens(self, prompts, staged=None):
         return list(prompts)
 
     def finalize_tokens(self, handle):
@@ -258,3 +258,14 @@ def test_length_aware_regrouping_preserves_request_mapping():
             assert res["result"] == f"ans:P:{text}"
     finally:
         proc.stop()
+
+
+def test_result_long_poll(serving_stack):
+    """GET /rag/result?timeout=N holds until the result is ready (server-side
+    long-poll extension; default stays the reference's quick check)."""
+    client, _, _ = serving_stack
+    rid = client.post("/rag", json={"query": "long poll?", "k": 1}).json()["request_id"]
+    t0 = time.time()
+    r = client.get(f"/rag/result/{rid}?timeout=20").json()
+    assert r["status"] == "complete", r
+    assert time.time() - t0 < 20
