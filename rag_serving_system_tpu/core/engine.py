@@ -117,8 +117,24 @@ class RagEngine:
         self.documents = list(documents)
         self.dtype = jnp.bfloat16 if settings.dtype == "bfloat16" else jnp.float32
 
-        self.enc_cfg: EncoderConfig = encoder_config_for(settings.model_preset)
-        self.dec_cfg: DecoderConfig = decoder_config_for(settings.model_preset)
+        # architecture: derived from the snapshot's own config.json when a
+        # local checkpoint exists (any BERT/XLM-R encoder, any Llama-family
+        # decoder incl. Qwen2/Mistral), else the preset
+        from rag_serving_system_tpu.models.configs import (
+            decoder_config_from_hf, encoder_config_from_hf)
+        from rag_serving_system_tpu.models.weights import snapshot_hf_config
+
+        enc_hf = snapshot_hf_config(settings.weights_dir, settings.embed_model_name)
+        dec_hf = snapshot_hf_config(settings.weights_dir, settings.llm_model_name)
+        self.enc_cfg: EncoderConfig = (
+            encoder_config_from_hf(enc_hf) if enc_hf
+            else encoder_config_for(settings.model_preset))
+        self.dec_cfg: DecoderConfig = (
+            decoder_config_from_hf(dec_hf) if dec_hf
+            else decoder_config_for(settings.model_preset))
+        if enc_hf or dec_hf:
+            logger.info("architectures from snapshot config.json "
+                        "(enc=%s, dec=%s)", bool(enc_hf), bool(dec_hf))
 
         t0 = time.time()
         self.enc_params, enc_real = get_encoder_params(

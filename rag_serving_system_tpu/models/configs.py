@@ -26,6 +26,9 @@ class EncoderConfig:
     type_vocab_size: int = 1
     layer_norm_eps: float = 1e-5
     pad_token_id: int = 1          # RoBERTa: position ids offset by pad_token_id + 1
+    # "roberta": positions = cumsum(non-pad) + pad_token_id (XLM-R/e5);
+    # "absolute": positions = 0..L-1 (BERT family)
+    position_style: str = "roberta"
 
     @property
     def head_dim(self) -> int:
@@ -34,7 +37,8 @@ class EncoderConfig:
 
 @dataclass(frozen=True)
 class DecoderConfig:
-    """Qwen2-family causal decoder: pre-RMSNorm, RoPE, GQA, SwiGLU, QKV bias."""
+    """Llama-family causal decoder: pre-RMSNorm, RoPE, GQA, SwiGLU.
+    Qwen2 = the same architecture with QKV bias on (qkv_bias=True)."""
     vocab_size: int = 151936
     hidden_size: int = 1536
     num_layers: int = 28
@@ -48,6 +52,7 @@ class DecoderConfig:
     max_position_embeddings: int = 32768
     eos_token_id: int = 151645     # <|im_end|>
     pad_token_id: int = 151643     # <|endoftext|>
+    qkv_bias: bool = True          # Qwen2 yes; Llama/Mistral no
 
 
 E5_LARGE = EncoderConfig()
@@ -63,9 +68,68 @@ QWEN2_TINY = DecoderConfig(
     head_dim=16, intermediate_size=128, eos_token_id=1, pad_token_id=0)
 
 
+LLAMA32_1B = DecoderConfig(
+    vocab_size=128256, hidden_size=2048, num_layers=16, num_heads=32,
+    num_kv_heads=8, head_dim=64, intermediate_size=8192,
+    rms_norm_eps=1e-5, rope_theta=500_000.0, tie_word_embeddings=True,
+    eos_token_id=128009, pad_token_id=128001, qkv_bias=False)
+
+
 def encoder_config_for(preset: str) -> EncoderConfig:
     return E5_TINY if preset == "tiny" else E5_LARGE
 
 
 def decoder_config_for(preset: str) -> DecoderConfig:
-    return QWEN2_TINY if preset == "tiny" else QWEN25_15B
+    if preset == "tiny":
+        return QWEN2_TINY
+    if preset == "llama":
+        return LLAMA32_1B
+    return QWEN25_15B
+
+
+def decoder_config_from_hf(hf: dict) -> DecoderConfig:
+    """Build a DecoderConfig from an HF snapshot's config.json dict.
+    Covers the Llama-architecture family (llama/mistral/qwen2): pre-RMSNorm,
+    RoPE, GQA, SwiGLU; Qwen2 additionally has QKV bias."""
+    mt = hf.get("model_type", "llama")
+    heads = hf["num_attention_heads"]
+    eos = hf.get("eos_token_id", 2)
+    if isinstance(eos, list):
+        eos = eos[0]
+    pad = hf.get("pad_token_id")
+    return DecoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=heads,
+        num_kv_heads=hf.get("num_key_value_heads", heads),
+        head_dim=hf.get("head_dim") or hf["hidden_size"] // heads,
+        intermediate_size=hf["intermediate_size"],
+        rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+        rope_theta=hf.get("rope_theta", 10_000.0),
+        tie_word_embeddings=hf.get("tie_word_embeddings", False),
+        max_position_embeddings=hf.get("max_position_embeddings", 4096),
+        eos_token_id=eos,
+        pad_token_id=pad if pad is not None else eos,
+        qkv_bias=hf.get("attention_bias", mt == "qwen2"),
+    )
+
+
+def encoder_config_from_hf(hf: dict) -> EncoderConfig:
+    """EncoderConfig from an HF config.json dict (bert / roberta /
+    xlm-roberta family — identical weight layout, different position-id
+    convention)."""
+    mt = hf.get("model_type", "bert")
+    pad = hf.get("pad_token_id", 1 if "roberta" in mt else 0)
+    return EncoderConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_layers=hf["num_hidden_layers"],
+        num_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf["max_position_embeddings"],
+        type_vocab_size=hf.get("type_vocab_size", 1),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+        pad_token_id=pad,
+        position_style="roberta" if "roberta" in mt else "absolute",
+    )

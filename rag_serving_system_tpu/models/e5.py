@@ -42,6 +42,15 @@ def roberta_position_ids(input_ids: jax.Array, pad_token_id: int) -> jax.Array:
     return incremental + pad_token_id
 
 
+def position_ids(cfg: EncoderConfig, input_ids: jax.Array) -> jax.Array:
+    """Per-family position ids: RoBERTa's pad-offset cumsum (e5/XLM-R) or
+    BERT's plain 0..L-1 absolute positions."""
+    if cfg.position_style == "roberta":
+        return roberta_position_ids(input_ids, cfg.pad_token_id)
+    b, l = input_ids.shape
+    return jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32)[None, :], (b, l))
+
+
 def encoder_forward(
     params: dict,
     cfg: EncoderConfig,
@@ -51,7 +60,7 @@ def encoder_forward(
 ) -> jax.Array:
     """Returns last_hidden_state (B, L, H)."""
     emb = params["embed"]
-    pos_ids = roberta_position_ids(input_ids, cfg.pad_token_id)
+    pos_ids = position_ids(cfg, input_ids)
     x = (
         jnp.take(emb["word"], input_ids, axis=0)
         + jnp.take(emb["pos"], pos_ids, axis=0)

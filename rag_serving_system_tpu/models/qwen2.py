@@ -54,7 +54,7 @@ def _qkv(params, cfg, x, b, s, act_quant=False):
     qd = cfg.num_heads * cfg.head_dim
     kvd = cfg.num_kv_heads * cfg.head_dim
     mm = dense_w8a8 if act_quant else dense
-    qkv = mm(x, params["qkv_w"], params["qkv_b"])
+    qkv = mm(x, params["qkv_w"], params.get("qkv_b"))  # Llama: no bias
     q = qkv[..., :qd].reshape(b, s, cfg.num_heads, cfg.head_dim)
     k = qkv[..., qd:qd + kvd].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)
     v = qkv[..., qd + kvd:].reshape(b, s, cfg.num_kv_heads, cfg.head_dim)

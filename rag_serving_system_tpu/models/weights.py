@@ -94,15 +94,17 @@ def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -
         "down_w": _stacked(next(keys), L, (ff, h), dtype),
     }
     for i in range(L):
-        params["layers"].append({
+        layer = {
             "ln1": jnp.ones((h,), dtype),
             "qkv_w": stacks["qkv_w"][i],
-            "qkv_b": jnp.zeros((qd + 2 * kvd,), dtype),
             "o_w": stacks["o_w"][i],
             "ln2": jnp.ones((h,), dtype),
             "gu_w": stacks["gu_w"][i],
             "down_w": stacks["down_w"][i],
-        })
+        }
+        if cfg.qkv_bias:
+            layer["qkv_b"] = jnp.zeros((qd + 2 * kvd,), dtype)
+        params["layers"].append(layer)
     return params
 
 
@@ -137,10 +139,12 @@ def load_encoder_params(cfg: EncoderConfig, snapshot_dir: str, dtype=jnp.bfloat1
     t = _load_safetensors_dir(snapshot_dir)
 
     def W(name):  # HF (out, in) → (in, out)
-        return jnp.asarray(_get(t, name, "roberta." + name).T.copy(), dtype=dtype)
+        return jnp.asarray(
+            _get(t, name, "roberta." + name, "bert." + name).T.copy(), dtype=dtype)
 
     def A(name):
-        return jnp.asarray(_get(t, name, "roberta." + name), dtype=dtype)
+        return jnp.asarray(_get(t, name, "roberta." + name, "bert." + name),
+                           dtype=dtype)
 
     params = {
         "embed": {
@@ -196,23 +200,25 @@ def load_decoder_params(cfg: DecoderConfig, snapshot_dir: str, dtype=jnp.bfloat1
         params["lm_head"] = W("lm_head.weight")
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
-        params["layers"].append({
+        layer = {
             "ln1": A(p + "input_layernorm.weight"),
             "qkv_w": jnp.concatenate([
                 W(p + "self_attn.q_proj.weight"),
                 W(p + "self_attn.k_proj.weight"),
                 W(p + "self_attn.v_proj.weight")], axis=1),
-            "qkv_b": jnp.concatenate([
-                A(p + "self_attn.q_proj.bias"),
-                A(p + "self_attn.k_proj.bias"),
-                A(p + "self_attn.v_proj.bias")], axis=0),
             "o_w": W(p + "self_attn.o_proj.weight"),
             "ln2": A(p + "post_attention_layernorm.weight"),
             "gu_w": jnp.concatenate([
                 W(p + "mlp.gate_proj.weight"),
                 W(p + "mlp.up_proj.weight")], axis=1),
             "down_w": W(p + "mlp.down_proj.weight"),
-        })
+        }
+        if cfg.qkv_bias:  # Qwen2 has QKV bias; Llama/Mistral do not
+            layer["qkv_b"] = jnp.concatenate([
+                A(p + "self_attn.q_proj.bias"),
+                A(p + "self_attn.k_proj.bias"),
+                A(p + "self_attn.v_proj.bias")], axis=0)
+        params["layers"].append(layer)
     return params
 
 
@@ -232,6 +238,20 @@ def find_snapshot(weights_dir: str | None, model_name: str) -> str | None:
         if c and os.path.isdir(c) and any(f.endswith(".safetensors") for f in os.listdir(c)):
             return c
     return None
+
+
+def snapshot_hf_config(weights_dir: str | None, model_name: str) -> dict | None:
+    """The snapshot's config.json, if a local snapshot with one exists —
+    lets the engine derive the architecture from the checkpoint itself
+    (any Llama-family decoder / BERT-family encoder) instead of a preset."""
+    snap = find_snapshot(weights_dir, model_name)
+    if not snap:
+        return None
+    cfg_path = os.path.join(snap, "config.json")
+    if not os.path.exists(cfg_path):
+        return None
+    with open(cfg_path, "r", encoding="utf-8") as f:
+        return json.load(f)
 
 
 def get_encoder_params(cfg: EncoderConfig, weights_dir: str | None,

@@ -247,3 +247,107 @@ def test_decoder_greedy_generate_matches_hf_left_padded(dec_pair):
                                max_new_tokens=n_new, do_sample=False,
                                dtype=jnp.float32))
     np.testing.assert_array_equal(ours, ref)
+
+
+# ---------------------------------------------------------------------------
+# family generalization: Llama-style decoder (no QKV bias), BERT encoder
+# ---------------------------------------------------------------------------
+
+def test_llama_decoder_greedy_matches_hf(tmp_path_factory):
+    """Llama architecture (attention_bias=False, untied-by-default GQA,
+    explicit head_dim) loaded through the same pytree/config-from-hf path:
+    greedy tokens must match HF exactly, including a left-padded batch."""
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from rag_serving_system_tpu.models.configs import decoder_config_from_hf
+
+    hf_cfg = LlamaConfig(
+        vocab_size=173, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=112,
+        max_position_embeddings=256, rope_theta=10000.0, rms_norm_eps=1e-5,
+        tie_word_embeddings=True, pad_token_id=0, eos_token_id=5,
+        bos_token_id=4, attention_bias=False, attention_dropout=0.0)
+    torch.manual_seed(3)
+    model = LlamaForCausalLM(hf_cfg).eval()
+    d = tmp_path_factory.mktemp("llama_ckpt")
+    model.save_pretrained(d)
+
+    import json as _json
+    cfg = decoder_config_from_hf(_json.load(open(f"{d}/config.json")))
+    assert not cfg.qkv_bias and cfg.num_kv_heads == 2 and cfg.head_dim == 16
+    params = load_decoder_params(cfg, str(d), dtype=jnp.float32)
+    assert "qkv_b" not in params["layers"][0]
+
+    ids = np.array([[0, 0, 7, 23, 99, 45],
+                    [101, 3, 88, 12, 9, 77]], dtype=np.int32)
+    mask = (ids != 0).astype(np.int32)
+    mask[1] = 1
+    n_new = 6
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor(ids, dtype=torch.long),
+            attention_mask=torch.tensor(mask, dtype=torch.long),
+            max_new_tokens=n_new, do_sample=False, num_beams=1,
+            pad_token_id=0, eos_token_id=5, use_cache=True)
+    ref = out[:, ids.shape[1]:].numpy()
+    ours = np.asarray(generate(params, cfg, jnp.asarray(ids),
+                               jnp.asarray(mask), jax.random.PRNGKey(0),
+                               max_new_tokens=n_new, do_sample=False,
+                               dtype=jnp.float32))
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_bert_encoder_matches_hf(tmp_path_factory):
+    """BERT-family encoder (absolute 0..L-1 positions, pad_token_id=0,
+    type_vocab_size=2) through the same loader: last_hidden_state must match
+    torch <=1e-4 — pins the position_style switch."""
+    from transformers import BertConfig, BertModel
+
+    from rag_serving_system_tpu.models.configs import encoder_config_from_hf
+
+    hf_cfg = BertConfig(
+        vocab_size=191, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=96,
+        max_position_embeddings=64, type_vocab_size=2, pad_token_id=0,
+        hidden_act="gelu", hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0)
+    torch.manual_seed(4)
+    model = BertModel(hf_cfg).eval()
+    d = tmp_path_factory.mktemp("bert_ckpt")
+    model.save_pretrained(d)
+
+    import json as _json
+    cfg = encoder_config_from_hf(_json.load(open(f"{d}/config.json")))
+    assert cfg.position_style == "absolute" and cfg.pad_token_id == 0
+    params = load_encoder_params(cfg, str(d), dtype=jnp.float32)
+
+    ids = np.array([[5, 17, 42, 8, 0, 0],
+                    [9, 30, 2, 77, 61, 45]], dtype=np.int32)
+    mask = (ids != 0).astype(np.int32)
+    with torch.no_grad():
+        ref = model(input_ids=torch.tensor(ids, dtype=torch.long),
+                    attention_mask=torch.tensor(mask, dtype=torch.long)
+                    ).last_hidden_state.numpy()
+    ours = np.asarray(encoder_forward(params, cfg, jnp.asarray(ids),
+                                      jnp.asarray(mask), dtype=jnp.float32))
+    for b in range(ids.shape[0]):
+        n = int(mask[b].sum())
+        np.testing.assert_allclose(ours[b, :n], ref[b, :n], atol=ATOL,
+                                   err_msg=f"row {b}")
+
+
+def test_qwen2_config_from_hf_roundtrip(dec_pair, tmp_path_factory):
+    """decoder_config_from_hf on a Qwen2 config.json must reproduce the
+    handwritten config (QKV bias on, tied embeddings)."""
+    from transformers import Qwen2Config
+
+    from rag_serving_system_tpu.models.configs import decoder_config_from_hf
+
+    hf_cfg = Qwen2Config(
+        vocab_size=199, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, intermediate_size=96,
+        max_position_embeddings=512, rope_theta=10000.0, rms_norm_eps=1e-6,
+        tie_word_embeddings=True, pad_token_id=0, eos_token_id=5)
+    cfg = decoder_config_from_hf(hf_cfg.to_dict())
+    assert cfg.qkv_bias and cfg.tie_word_embeddings
+    assert cfg.vocab_size == 199 and cfg.head_dim == 16
