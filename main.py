@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 
 import numpy as np
 
@@ -86,9 +87,15 @@ def main():
 
     app, processor, _, settings = build_app()
     try:
+        # aiohttp's run_app handles SIGTERM/SIGINT itself and returns
         run_app(app, host=settings.host, port=settings.port)
     finally:
-        processor.stop()
+        # K8s sends SIGTERM before killing the pod: drain the in-flight
+        # batch (plus one prefetched batch) so accepted requests get their
+        # results delivered before exit. Requests still in the queue
+        # survive in Redis for the replacement replica.
+        logger.info("draining in-flight work before exit...")
+        processor.stop(drain_timeout=float(os.environ.get("DRAIN_TIMEOUT", "30")))
 
 
 if __name__ == "__main__":

@@ -192,3 +192,42 @@ def test_in_memory_oldest_wait_time():
     assert q.oldest_wait_time() >= w
     q.get_batch()  # drains both
     assert q.oldest_wait_time() == 0.0
+
+
+def test_replica_failover_drains_remaining_work(redis_queue):
+    """Replica death semantics (SURVEY §5): the Redis queue survives a dead
+    processor; a replacement replica drains everything still queued. Items
+    already popped by the dead replica are lost (at-most-once, same tradeoff
+    as the reference's BLPOP path) — here the dead replica is stopped BEFORE
+    popping, so nothing is lost."""
+    import threading
+
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+
+    class _Engine:
+        def prepare(self, queries, ks):
+            return queries
+
+        def generate_tokens(self, prompts, staged=None):
+            return list(prompts)
+
+        def finalize_tokens(self, handle):
+            return [f"ans:{p}" for p in handle]
+
+        def generate_answers(self, prompts):
+            return self.finalize_tokens(self.generate_tokens(prompts))
+
+    rids = [redis_queue.add_request(f"q{i}", 1) for i in range(10)]
+    # replica A dies before doing any work (stopped pre-start)
+    dead = BatchProcessor(redis_queue, _Engine(), polling_interval=0.01)
+    dead.stop()
+    assert redis_queue.queue_size() == 10  # nothing lost
+    # replacement replica B picks up the same Redis queue
+    alive = BatchProcessor(redis_queue, _Engine(), polling_interval=0.01)
+    alive.start()
+    try:
+        for rid in rids:
+            res = redis_queue.get_result(rid, timeout=10)
+            assert res is not None and "result" in res
+    finally:
+        alive.stop()
