@@ -94,7 +94,7 @@ def main() -> None:
     os.environ.setdefault("QUANT_WEIGHTS", "int8")
     os.environ.setdefault("QUANT_ACT", "int8")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
-    n_batches = int(os.environ.get("BENCH_BATCHES", "10"))
+    n_batches = int(os.environ.get("BENCH_BATCHES", "20"))
 
     settings = Settings(
         model_preset="tiny" if mode == "tiny" else "full",

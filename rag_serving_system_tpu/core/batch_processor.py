@@ -47,7 +47,11 @@ class BatchProcessor(threading.Thread):
         self.running = False
         self._busy = False            # stage-2 executing
         self._stage1_busy = False     # prefetch thread holds a dequeued batch
-        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=1)
+        import os
+        # depth of the prepared-batch pipeline between stage 1 and stage 2;
+        # depth 2 measured neutral-to-worse on this host (A/B in commit log)
+        self._ready: "queue.Queue[tuple]" = queue.Queue(
+            maxsize=int(os.environ.get("READY_DEPTH", "1")))
         self._pending = None          # deferred (request_ids, token handle)
         # rolling stats for observability
         self.batches_processed = 0

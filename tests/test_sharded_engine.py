@@ -98,3 +98,25 @@ def test_sharded_generation_value_parity(sharded_engine):
     res_mesh = RagEngine(greedy, docs, emb, mesh=mesh).process(queries, [2, 2])
     res_single = RagEngine(greedy, docs, emb).process(queries, [2, 2])
     assert res_mesh == res_single
+
+
+@pytest.mark.parametrize("shape", ["8,1", "2,4", "1,8"])
+def test_mesh_shape_variety_value_parity(shape):
+    """Retrieval indices must be identical to single-device across mesh
+    shapes: pure-dp (8,1), tp-heavy (2,4), and pure-tp (1,8) — catches
+    axis-size assumptions in the sharding rules and the top-k merge."""
+    from rag_serving_system_tpu.config import Settings
+
+    rng = np.random.default_rng(3)
+    docs = [f"Fact {i}: item {i} equals {i + 1}." for i in range(50)]
+    emb = rng.standard_normal((50, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[2], max_batch_size=2,
+                        encode_len_buckets=[16], prompt_len_buckets=[64],
+                        max_new_tokens=2, max_k=4, do_sample=False)
+    queries = ["what does item 7 equal?", "item 13?"]
+    mesh_engine = RagEngine(settings, docs, emb, mesh=make_mesh(shape))
+    single = RagEngine(settings, docs, emb)
+    assert (mesh_engine.embed_and_retrieve(queries, [3, 4])
+            == single.embed_and_retrieve(queries, [3, 4]))
+    assert mesh_engine.process(queries, [2, 2]) == single.process(queries, [2, 2])
