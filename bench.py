@@ -190,12 +190,17 @@ def main() -> None:
     result = {
         "metric": f"rag_e2e_throughput_b{batch}"
                   + ("" if config == "short_facts" else f"_{config}")
-                  + ("_tinysmoke" if mode == "tiny" else ""),
+                  + ("_tinysmoke" if mode == "tiny" else "")
+                  + ("_noprefix" if engine.prefix_cache is None else ""),
         "value": round(rps, 2),
         "unit": "req/s",
         # tiny mode is a CI smoke run of toy models — not baseline-comparable
         "vs_baseline": round(rps / BASELINE_RPS, 2) if mode != "tiny" else None,
     }
+    if engine.prefix_cache is not None:
+        # the workload reuses `batch` distinct queries, so steady-state hit
+        # rate is high — the stats record makes that context explicit
+        result["prefix_cache"] = engine.prefix_cache.stats()
     print(json.dumps(result))
     try:  # extended record for the perf log (headline line above is the contract)
         details_path = os.environ.get("BENCH_DETAILS", "BENCH_DETAILS.json")

@@ -109,6 +109,8 @@ def create_api(request_queue, processor=None, engine=None,
             body["last_batch_seconds"] = processor.last_batch_seconds
         if engine is not None:
             body["stages"] = engine.timer.summary()
+            if getattr(engine, "prefix_cache", None) is not None:
+                body["prefix_cache"] = engine.prefix_cache.stats()
         return web.json_response(body)
 
     app.router.add_post("/rag", rag_endpoint)

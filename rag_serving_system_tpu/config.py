@@ -83,6 +83,18 @@ class Settings:
     # near-tie order may differ from the f32 oracle)
     retrieval_corpus_dtype: str = field(
         default_factory=lambda: _env("RETRIEVAL_CORPUS_DTYPE", "float32"))
+    # exact prefix-KV caching of repeated RAG contexts (core/prefix_cache.py):
+    # retrieval is deterministic, so the "Context:\n..." prefix repeats across
+    # requests; cache its KV and prefill only the question suffix
+    prefix_cache: bool = field(
+        default_factory=lambda: _env("PREFIX_CACHE", "1").lower() not in ("0", "false"))
+    # fixed token length of each cached prefix entry (static XLA shape);
+    # longer contexts cache their first PREFIX_POOL_LEN tokens
+    prefix_pool_len: int = field(
+        default_factory=lambda: int(_env("PREFIX_POOL_LEN", "384")))
+    # HBM budget for the prefix cache (LRU beyond this)
+    prefix_cache_mb: int = field(
+        default_factory=lambda: int(_env("PREFIX_CACHE_MB", "2048")))
     # weight-only quantization for the decoder: 'none' | 'int8'
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
     # activation quantization for the PREFILL matmuls (W8A8 on the MXU's

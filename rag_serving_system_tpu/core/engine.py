@@ -44,8 +44,13 @@ from rag_serving_system_tpu.models import (
     decoder_config_for,
     encoder_config_for,
 )
+from rag_serving_system_tpu.core.prefix_cache import (
+    PrefixKVCache,
+    PromptSpec,
+    split_prefix_tokens,
+)
 from rag_serving_system_tpu.models.e5 import encode
-from rag_serving_system_tpu.models.qwen2 import generate
+from rag_serving_system_tpu.models.qwen2 import compute_prefix_kv, generate
 from rag_serving_system_tpu.models.tokenizer import (
     get_tokenizer,
     HashTokenizer,
@@ -60,8 +65,14 @@ from rag_serving_system_tpu.utils.timing import StageTimer
 logger = logging.getLogger(__name__)
 
 PROMPT_TEMPLATE = "Context:\n{context}\n\nQuestion: {question}\n\nThe Answer to this question is: "
+# the cacheable (question-independent) prompt prefix; tokenizer-boundary
+# merges against the question text are handled by split_prefix_tokens
+PREFIX_TEMPLATE = "Context:\n{context}\n\nQuestion:"
 DOC_JOIN = "\n---\n"
 QUERY_PREFIX = "query: "
+# suffix (question + answer cue) length buckets for the prefix-cache path —
+# finer than the full-prompt buckets because suffixes are short
+SUFFIX_LEN_BUCKETS = [32, 64]
 
 
 def pick_bucket(buckets: Sequence[int], n: int) -> int:
@@ -199,6 +210,29 @@ class RagEngine:
         self._rng = jax.random.PRNGKey(0)
         self.timer = StageTimer()
 
+        # exact prefix-KV cache (single-device path; under a mesh the KV is
+        # model-sharded and entry stacking would need per-axis layouts — off)
+        self.prefix_cache = None
+        self._zero_prefix = None
+        if settings.prefix_cache and n_dev == 1:
+            c = self.dec_cfg
+            # no point caching beyond the longest prompt the engine ever
+            # prefills — clamping keeps short-prompt configs' decode window
+            # (prefix slots + suffix) tight
+            pool_len = min(settings.prefix_pool_len,
+                           max(settings.prompt_len_buckets))
+            entry_bytes = (c.num_layers * 2 * pool_len *
+                           c.num_kv_heads * c.head_dim *
+                           jnp.dtype(self.dtype).itemsize)
+            self.prefix_cache = PrefixKVCache(
+                pool_len=pool_len,
+                entry_bytes=entry_bytes,
+                budget_mb=settings.prefix_cache_mb)
+            logger.info("prefix-KV cache on: pool_len=%d, %.1f MB/entry, "
+                        "capacity %d entries",
+                        pool_len, entry_bytes / 2**20,
+                        self.prefix_cache.capacity)
+
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
     # ------------------------------------------------------------------
@@ -289,21 +323,56 @@ class RagEngine:
         stage-1 (prefetch) thread so the tokenizer work and the host→device
         transfers (3 tunnel puts — tens of ms of latency each under a remote
         device) overlap the previous batch's generation instead of sitting on
-        the dispatch critical path."""
+        the dispatch critical path.
+
+        With the prefix-KV cache on, each prompt is split at its cacheable
+        context boundary: only the SUFFIX (question + answer cue) is staged
+        as input ids; the per-row (cache key, prefix tokens) travel alongside
+        for `generate_tokens` to resolve against the cache at dispatch time
+        (dispatch-side resolution keeps LRU eviction race-free)."""
         bsz = pick_bucket(self.batch_buckets, len(prompts))
-        padded = prompts + [""] * (bsz - len(prompts))
+        n = len(prompts)
+        padded = list(prompts) + [""] * (bsz - n)
         rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
-        plen = pick_bucket(self.settings.prompt_len_buckets,
-                           max(len(r) for r in rows[:len(prompts)]))
+
+        metas = None
+        if self.prefix_cache is not None and any(
+                getattr(p, "cache_key", None) is not None for p in prompts):
+            pool_len = self.prefix_cache.pool_len
+            max_cov = pool_len + self.settings.prompt_len_buckets[-1]
+            metas, suffix_rows = [], []
+            for i in range(bsz):
+                full = rows[i]
+                key = getattr(padded[i], "cache_key", None) if i < n else None
+                m = 0
+                if key is not None and len(full) <= max_cov:
+                    pre = self.dec_tok.encode(padded[i].prefix_text)
+                    m = split_prefix_tokens(full, pre, pool_len)
+                    if m < self.prefix_cache.min_tokens:
+                        m = 0
+                if m > 0:
+                    metas.append((key, tuple(full[:m])))
+                else:
+                    metas.append(None)
+                    if i < n:
+                        self.prefix_cache.bypassed += 1
+                suffix_rows.append(full[m:])
+            rows = suffix_rows
+            plen = pick_bucket(
+                SUFFIX_LEN_BUCKETS + self.settings.prompt_len_buckets,
+                max((len(r) for r in rows[:n]), default=1))
+        else:
+            plen = pick_bucket(self.settings.prompt_len_buckets,
+                               max(len(r) for r in rows[:n]))
         # truncate_side="left": over-long prompts keep the tail (the question
         # and the answer cue), dropping leading context instead
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
                                   pad_side="left", truncate_side="left")
-        mask[len(prompts):, -1] = 1  # keep pad rows well-defined
+        mask[n:, -1] = 1  # keep pad rows well-defined
         # pad rows are born done so EOS early-exit fires on partial batches
-        row_valid = np.arange(bsz) < len(prompts)
+        row_valid = np.arange(bsz) < n
         return (self._put_batch(ids), self._put_batch(mask),
-                self._put_batch(row_valid), len(prompts))
+                self._put_batch(row_valid), n, metas)
 
     def generate_tokens(self, prompts: List[str] | None = None, staged=None):
         """Dispatch generation; returns an opaque handle WITHOUT forcing the
@@ -316,14 +385,65 @@ class RagEngine:
         keep this call to a bare dispatch."""
         if staged is None:
             staged = self.stage_prompts(prompts)
-        ids, mask, row_valid, n = staged
+        ids, mask, row_valid, n, metas = staged
+        prefix_kv = prefix_len = None
+        if metas is not None and any(m is not None for m in metas):
+            prefix_kv, prefix_len = self._resolve_prefixes(metas)
         self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg, ids, mask, rng,
                         max_new_tokens=self.settings.max_new_tokens,
                         do_sample=self.settings.do_sample, dtype=self.dtype,
                         row_valid=row_valid,
-                        act_quant=self.act_quant)
+                        act_quant=self.act_quant,
+                        prefix_kv=prefix_kv, prefix_len=prefix_len)
         return toks, n
+
+    def _resolve_prefixes(self, metas):
+        """Map per-row (key, prefix tokens) to device KV entries: cache hits
+        are reused; the batch's distinct misses are computed in ONE batched
+        `compute_prefix_kv` dispatch (dedup means a context shared by several
+        rows — or repeated across batches — prefills once). Returns the
+        stacked (B, L, 2, PL, Hk, D) prefix KV and (B,) valid lengths."""
+        cache = self.prefix_cache
+        pool_len = cache.pool_len
+        entries: list = []
+        need: dict = {}
+        for meta in metas:
+            if meta is None:
+                entries.append(None)
+                continue
+            key, toks = meta
+            e = cache.get(key, toks)
+            if e is None:
+                need.setdefault(key, toks)
+                entries.append(key)     # placeholder, filled below
+            else:
+                entries.append(e)
+        if need:
+            keys = list(need)
+            mb = pick_bucket(self.batch_buckets, len(keys))
+            rows = [list(need[k]) for k in keys] + [[]] * (mb - len(keys))
+            pids, pmask = pad_and_stack(rows, pool_len, self.dec_tok.pad_id,
+                                        pad_side="right")
+            pmask[len(keys):, 0] = 1  # keep pad rows well-defined
+            kv = compute_prefix_kv(self.dec_params, self.dec_cfg,
+                                   jnp.asarray(pids), jnp.asarray(pmask),
+                                   dtype=self.dtype, act_quant=self.act_quant)
+            fresh = {k: cache.put(k, need[k], kv[i])
+                     for i, k in enumerate(keys)}
+            entries = [fresh.get(e, e) if not hasattr(e, "kv") else e
+                       for e in entries]
+        if self._zero_prefix is None or self._zero_prefix.shape[2] != pool_len:
+            c = self.dec_cfg
+            self._zero_prefix = jnp.zeros(
+                (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim),
+                dtype=self.dtype)
+        prefix_kv = jnp.stack(
+            [e.kv if e is not None else self._zero_prefix for e in entries])
+        prefix_len = jnp.asarray(
+            [len(e.tokens) if e is not None else 0 for e in entries],
+            dtype=jnp.int32)
+        return prefix_kv, prefix_len
 
     def finalize_tokens(self, handle) -> List[str]:
         """Block on the device tokens and detokenize (see generate_tokens)."""
@@ -348,8 +468,15 @@ class RagEngine:
             doc_idx = self.embed_and_retrieve(queries, ks)
             contexts = [DOC_JOIN.join(self.documents[i] for i in row)
                         for row in doc_idx]
-            return [PROMPT_TEMPLATE.format(context=c, question=q)
-                    for q, c in zip(queries, contexts)]
+            if self.prefix_cache is None:
+                return [PROMPT_TEMPLATE.format(context=c, question=q)
+                        for q, c in zip(queries, contexts)]
+            # PromptSpec rides through batching/reordering as a plain str but
+            # carries the cacheable context prefix and its identity key
+            return [PromptSpec(PROMPT_TEMPLATE.format(context=c, question=q),
+                               prefix_text=PREFIX_TEMPLATE.format(context=c),
+                               cache_key=("ctx", tuple(row)))
+                    for q, c, row in zip(queries, contexts, doc_idx)]
 
     def process(self, queries: List[str], ks: List[int]) -> List[dict]:
         """Full RAG for a batch. Returns per-request result dicts."""

@@ -107,15 +107,29 @@ def prefill(
     max_new_tokens: int,
     dtype=jnp.bfloat16,
     act_quant: bool = False,    # W8A8 matmuls (prefill is compute-bound)
+    prefix_kv: jax.Array | None = None,   # (B, L, 2, PL, Hk, D) cached ctx KV
+    prefix_len: jax.Array | None = None,  # (B,) int32 valid prefix tokens
 ) -> tuple[jax.Array, KVCache]:
     """Full forward over the prompt. Returns (last-position logits (B, V) f32,
-    KV cache sized P + max_new_tokens)."""
+    KV cache sized [PL +] P + max_new_tokens).
+
+    With `prefix_kv` (exact prefix-KV reuse — the TPU answer to vLLM-style
+    automatic prefix caching): per-row cached context KV, LEFT-aligned and
+    valid for the first `prefix_len[b]` slots, computed by
+    `compute_prefix_kv` with RoPE positions 0..len-1. The suffix tokens in
+    `input_ids` continue at positions prefix_len[b].., attend to
+    [valid prefix slots] + [causal suffix], and the returned cache is the
+    concatenation — numerically identical attention to prefilling the whole
+    prompt, but only the suffix pays matmul FLOPs."""
     b, p = input_ids.shape
-    t_max = p + max_new_tokens
+    pl_ = 0 if prefix_kv is None else prefix_kv.shape[3]
+    t_max = pl_ + p + max_new_tokens
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     # left-padded → positions count real tokens from the left edge of content
     positions = jnp.cumsum(attention_mask, axis=-1) - 1
     positions = jnp.maximum(positions, 0)
+    if prefix_kv is not None:
+        positions = positions + prefix_len[:, None]
 
     x = embed_lookup(params, input_ids, dtype)
 
@@ -124,6 +138,77 @@ def prefill(
     # streams key/value blocks through VMEM with online softmax. Any
     # 128-multiple bucket qualifies (block size drops to 128 off the
     # 256-multiples) — the mask tile is grid-indexed, no dynamic lane loads.
+    # (The prefix-KV path uses the einsum attention: its q/kv lengths differ.)
+    use_flash = (prefix_kv is None and jax.default_backend() == "tpu"
+                 and p >= 256 and p % 128 == 0 and cfg.head_dim % 128 == 0)
+    flash_blk = 256 if p % 256 == 0 else 128
+    if use_flash:
+        bias = None
+    elif prefix_kv is None:
+        bias = causal_padding_bias(attention_mask)
+    else:
+        # (B, 1, P, PL + P): prefix slots valid iff slot < prefix_len (every
+        # prefix position precedes every suffix position, so no causal term);
+        # suffix block is the usual left-padded causal mask
+        pref_valid = jnp.arange(pl_)[None, :] < prefix_len[:, None]   # (B, PL)
+        pref_bias = jnp.where(pref_valid, 0.0, NEG_INF)[:, None, None, :]
+        bias = jnp.concatenate(
+            [jnp.broadcast_to(pref_bias, (b, 1, p, pl_)).astype(jnp.float32),
+             causal_padding_bias(attention_mask)], axis=-1)
+
+    mm = dense_w8a8 if act_quant else dense
+    ks, vs = [], []
+    for li, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, cfg, h, b, p, act_quant=act_quant)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        if prefix_kv is not None:
+            k = jnp.concatenate([prefix_kv[:, li, 0].astype(k.dtype), k], axis=1)
+            v = jnp.concatenate([prefix_kv[:, li, 1].astype(v.dtype), v], axis=1)
+        if use_flash:
+            from rag_serving_system_tpu.ops.attention import flash_attention
+            a = flash_attention(q, k, v, attention_mask, causal=True,
+                                blk_q=flash_blk, blk_k=flash_blk)
+        else:
+            a = attention(q, k, v, bias)
+        a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
+        x = x + mm(a, layer["o_w"])
+        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h, act_quant=act_quant)
+        pad_t = t_max - k.shape[1]
+        ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+        vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+
+    logits = logits_from_hidden(params, cfg, x[:, -1, :])
+    cache = KVCache(k=tuple(ks), v=tuple(vs))
+    return logits, cache
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "dtype", "act_quant"))
+def compute_prefix_kv(
+    params: dict,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,       # (M, PL) int32, RIGHT-padded prefix tokens
+    attention_mask: jax.Array,  # (M, PL) int32
+    dtype=jnp.bfloat16,
+    act_quant: bool = False,
+) -> jax.Array:
+    """Forward the transformer over a batch of context prefixes and return
+    their post-RoPE KV stacked as (M, L, 2, PL, Hk, D) — the payload of one
+    prefix-cache entry per row, LEFT-aligned (right padding).
+
+    RoPE positions run 0..n-1 exactly as they would at the front of a full
+    prompt, so a cached entry is position-exact for any later prompt that
+    starts with the same tokens. Rows only attend causally within themselves
+    (trailing pad keys are causally invisible to real queries), which makes
+    the per-row KV independent of what else shares the batch."""
+    b, p = input_ids.shape
+    inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
+    positions = jnp.cumsum(attention_mask, axis=-1) - 1
+    positions = jnp.maximum(positions, 0)
+
+    x = embed_lookup(params, input_ids, dtype)
     use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 128 == 0
                  and cfg.head_dim % 128 == 0)
     flash_blk = 256 if p % 256 == 0 else 128
@@ -146,13 +231,12 @@ def prefill(
         x = x + mm(a, layer["o_w"])
         h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h, act_quant=act_quant)
-        pad_t = t_max - p
-        ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
-        vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+        ks.append(k)
+        vs.append(v)
 
-    logits = logits_from_hidden(params, cfg, x[:, -1, :])
-    cache = KVCache(k=tuple(ks), v=tuple(vs))
-    return logits, cache
+    # (M, L, 2, PL, Hk, D) in the cache's storage dtype
+    kv = jnp.stack([jnp.stack(pair, axis=0) for pair in zip(ks, vs)], axis=0)
+    return jnp.transpose(kv, (2, 0, 1, 3, 4, 5)).astype(dtype)
 
 
 def decode_step(
@@ -257,6 +341,8 @@ def generate(
     dtype=jnp.bfloat16,
     row_valid: jax.Array | None = None,   # (B,) bool — False for pad rows
     act_quant: bool = False,              # W8A8 prefill (decode unaffected)
+    prefix_kv: jax.Array | None = None,   # (B, L, 2, PL, Hk, D) cached ctx KV
+    prefix_len: jax.Array | None = None,  # (B,) int32
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
@@ -266,10 +352,23 @@ def generate(
     (the reference's HF pipeline decodes all 10 tokens unconditionally).
     Batch-padding rows (row_valid False) are born done so they never defeat
     the early exit and emit only pad_token_id.
+
+    With `prefix_kv`/`prefix_len` (see `prefill`), `input_ids` holds only the
+    per-row SUFFIX (everything after the cached context prefix) and decode
+    attends over the [prefix | suffix | generated] concatenated cache.
     """
     b, p = input_ids.shape
     logits0, cache = prefill(params, cfg, input_ids, attention_mask,
-                             max_new_tokens, dtype=dtype, act_quant=act_quant)
+                             max_new_tokens, dtype=dtype, act_quant=act_quant,
+                             prefix_kv=prefix_kv, prefix_len=prefix_len)
+    if prefix_kv is not None:
+        # decode sees one combined "prompt" of length PL + P: the prefix part
+        # is LEFT-aligned valid-for-prefix_len, the suffix part left-padded
+        pl_ = prefix_kv.shape[3]
+        pref_mask = (jnp.arange(pl_)[None, :] < prefix_len[:, None]).astype(
+            attention_mask.dtype)
+        attention_mask = jnp.concatenate([pref_mask, attention_mask], axis=1)
+        p = pl_ + p
 
     def pick(logits, rng):
         if do_sample:

@@ -1,0 +1,209 @@
+"""Prefix-KV cache: exactness vs full prefill, LRU semantics, engine wiring.
+
+The prefix path must be *numerically equivalent* to prefilling the whole
+prompt (same RoPE positions, same attention sets) — greedy generation with
+and without the cache must emit identical tokens (reference behavior contract:
+rag_service/core/batch_processor.py:100-105 builds one flat prompt string;
+splitting it for KV reuse is purely an execution-strategy change)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rag_serving_system_tpu.core.prefix_cache import (
+    PrefixKVCache,
+    PromptSpec,
+    split_prefix_tokens,
+)
+from rag_serving_system_tpu.models.configs import QWEN2_TINY
+from rag_serving_system_tpu.models.qwen2 import (
+    compute_prefix_kv,
+    generate,
+    prefill,
+)
+from rag_serving_system_tpu.models.weights import init_decoder_params
+
+
+def _left_pad(rows, width, pad_id=0):
+    ids = np.full((len(rows), width), pad_id, np.int32)
+    mask = np.zeros((len(rows), width), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, width - len(r):] = r
+        mask[i, width - len(r):] = 1
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+def _right_pad(rows, width, pad_id=0):
+    ids = np.full((len(rows), width), pad_id, np.int32)
+    mask = np.zeros((len(rows), width), np.int32)
+    for i, r in enumerate(rows):
+        ids[i, :len(r)] = r
+        mask[i, :len(r)] = 1
+    return jnp.asarray(ids), jnp.asarray(mask)
+
+
+@pytest.fixture(scope="module")
+def tiny_decoder():
+    cfg = QWEN2_TINY
+    params = init_decoder_params(cfg, seed=7, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_compute_prefix_kv_matches_prefill_cache(tiny_decoder):
+    """Entry payloads must equal the KV a full prefill would produce for the
+    same leading tokens (positions 0..n-1)."""
+    cfg, params = tiny_decoder
+    rng = np.random.default_rng(3)
+    prefix = rng.integers(2, cfg.vocab_size, size=14).tolist()
+
+    ids, mask = _right_pad([prefix], 16)
+    kv = compute_prefix_kv(params, cfg, ids, mask,
+                           dtype=jnp.float32)          # (1, L, 2, 16, Hk, D)
+
+    fids, fmask = _left_pad([prefix], 14)  # exact length: no padding at all
+    _, cache = prefill(params, cfg, fids, fmask, max_new_tokens=1,
+                       dtype=jnp.float32)
+    for li in range(cfg.num_layers):
+        np.testing.assert_allclose(np.asarray(kv[0, li, 0, :14]),
+                                   np.asarray(cache.k[li][0, :14]),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(kv[0, li, 1, :14]),
+                                   np.asarray(cache.v[li][0, :14]),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_generate_with_prefix_matches_vanilla(tiny_decoder):
+    """Greedy decode over [cached prefix + suffix] == greedy decode over the
+    full prompt, including mixed batches with a zero-prefix (bypass) row."""
+    cfg, params = tiny_decoder
+    rng = np.random.default_rng(11)
+    pre_lens = [20, 12, 0]          # third row bypasses (no cached prefix)
+    suf_lens = [6, 9, 18]
+    pres = [rng.integers(2, cfg.vocab_size, size=n).tolist() for n in pre_lens]
+    sufs = [rng.integers(2, cfg.vocab_size, size=n).tolist() for n in suf_lens]
+    fulls = [p + s for p, s in zip(pres, sufs)]
+
+    key = jax.random.PRNGKey(0)
+    fids, fmask = _left_pad(fulls, 32)
+    want = generate(params, cfg, fids, fmask, key, max_new_tokens=4,
+                    do_sample=False, dtype=jnp.float32)
+
+    pool_len = 24
+    pids, pmask = _right_pad(pres, pool_len)
+    pmask = np.asarray(pmask).copy()
+    pmask[2, 0] = 1  # keep the empty row well-defined (engine does the same)
+    kv = compute_prefix_kv(params, cfg, pids, jnp.asarray(pmask),
+                           dtype=jnp.float32)
+    sids, smask = _left_pad(sufs, 24)
+    got = generate(params, cfg, sids, smask, key, max_new_tokens=4,
+                   do_sample=False, dtype=jnp.float32,
+                   prefix_kv=kv,
+                   prefix_len=jnp.asarray(pre_lens, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+
+
+def test_generate_with_prefix_sampled_shapes(tiny_decoder):
+    """Sampling path through the prefix branch: right shapes, valid ids."""
+    cfg, params = tiny_decoder
+    rng = np.random.default_rng(5)
+    pres = [rng.integers(2, cfg.vocab_size, size=10).tolist()]
+    sufs = [rng.integers(2, cfg.vocab_size, size=5).tolist()]
+    kv = compute_prefix_kv(params, cfg, *_right_pad(pres, 16),
+                           dtype=jnp.float32)
+    sids, smask = _left_pad(sufs, 8)
+    out = generate(params, cfg, sids, smask, jax.random.PRNGKey(2),
+                   max_new_tokens=3, do_sample=True, dtype=jnp.float32,
+                   prefix_kv=kv, prefix_len=jnp.asarray([10], jnp.int32))
+    out = np.asarray(out)
+    assert out.shape == (1, 3)
+    assert ((out >= 0) & (out < cfg.vocab_size)).all()
+
+
+def test_split_prefix_tokens():
+    full = [5, 6, 7, 8, 9, 10]
+    assert split_prefix_tokens(full, [5, 6, 7], 16) == 3
+    # boundary merge: separately-tokenized prefix ends differently → trim
+    assert split_prefix_tokens(full, [5, 6, 99], 16) == 2
+    assert split_prefix_tokens(full, [5, 6, 7, 8], 3) == 3   # pool cap
+    assert split_prefix_tokens(full, [99], 16) == 0
+
+
+def test_lru_eviction_and_verify():
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=2)
+    assert cache.capacity == 2
+    kv = jnp.zeros((2, 2, 8, 2, 4))
+    cache.put("a", (1, 2), kv)
+    cache.put("b", (3, 4), kv)
+    assert cache.get("a", (1, 2)) is not None     # refreshes 'a'
+    cache.put("c", (5, 6), kv)                    # evicts LRU 'b'
+    assert len(cache) == 2
+    assert cache.get("b", (3, 4)) is None
+    assert cache.get("a", (1, 2)) is not None
+    # key collision with different tokens must MISS, never serve wrong KV
+    assert cache.get("c", (5, 999)) is None
+    s = cache.stats()
+    assert s["entries"] == 2 and s["hits"] == 2 and s["misses"] == 2
+
+
+def test_prompt_spec_is_a_string():
+    p = PromptSpec("hello world", prefix_text="hello", cache_key=("ctx", (1,)))
+    assert p == "hello world" and len(p) == 11
+    assert p.prefix_text == "hello" and p.cache_key == ("ctx", (1,))
+    assert isinstance(p, str)
+
+
+# ---------------------------------------------------------------------------
+# engine wiring
+# ---------------------------------------------------------------------------
+
+def _engines():
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    rng = np.random.default_rng(0)
+    docs = [(f"Fact number {i}: the answer to the question about topic {i} "
+             f"is {i * i}, which was established in study {i}.")
+            for i in range(30)]
+    emb = rng.standard_normal((30, 64)).astype(np.float32)
+
+    def mk(**over):
+        base = dict(model_preset="tiny", dtype="float32",
+                    batch_buckets=[1, 2, 4], encode_len_buckets=[16, 32],
+                    prompt_len_buckets=[64, 128], max_new_tokens=4, max_k=4,
+                    max_batch_size=4, do_sample=False,
+                    prefix_pool_len=48)
+        base.update(over)
+        return RagEngine(Settings(**base), docs, emb)
+
+    return mk
+
+
+def test_engine_prefix_cache_answers_match_and_hit():
+    mk = _engines()
+    on = mk(prefix_cache=True)
+    off = mk(prefix_cache=False)
+    assert on.prefix_cache is not None and off.prefix_cache is None
+
+    queries = ["what is the answer about topic three?",
+               "tell me about study seven please"]
+    a1 = [r["result"] for r in on.process(queries, [2, 2])]
+    b = [r["result"] for r in off.process(queries, [2, 2])]
+    assert a1 == b
+
+    # deterministic retrieval → same contexts → cache hits on the rerun
+    before = on.prefix_cache.stats()
+    a2 = [r["result"] for r in on.process(queries, [2, 2])]
+    after = on.prefix_cache.stats()
+    assert a2 == a1
+    assert after["hits"] > before["hits"]
+    assert after["entries"] >= 1
+
+
+def test_engine_prefix_cache_dedups_within_batch():
+    mk = _engines()
+    on = mk(prefix_cache=True)
+    # identical query twice → identical context → ONE cache entry
+    on.process(["what is the answer about topic three?"] * 2, [2, 2])
+    st = on.prefix_cache.stats()
+    assert st["entries"] == 1
