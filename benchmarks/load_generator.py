@@ -18,6 +18,7 @@ import argparse
 import asyncio
 import json
 import os
+import random
 import sys
 import time
 
@@ -89,10 +90,18 @@ async def send_request(session, endpoint: str, query: str, k: int,
 
 async def run_load_test(endpoint: str, pattern: str, rps: int, duration: int,
                         seed: int | None, timeout: float, queries: list[str],
-                        k: int = 2, poll_interval: float = 0.3) -> MetricsCollector:
+                        k: int = 2, poll_interval: float = 0.3,
+                        query_sample: str = "cycle") -> MetricsCollector:
     import aiohttp
 
     trace = generate_trace(pattern, rps, duration, seed)
+    if query_sample == "random":
+        # seeded uniform sampling over the pool — the realistic traffic shape
+        # for cache studies (cycling visits every query exactly once per lap,
+        # the worst case for any LRU). "cycle" below stays the default for
+        # protocol continuity with earlier sweeps.
+        qrng = random.Random(seed if seed is not None else 0)
+        queries = [qrng.choice(queries) for _ in trace]
     metrics = MetricsCollector()
     metrics.start_test()
     t0 = time.time()
@@ -130,13 +139,18 @@ def main() -> None:
     parser.add_argument("--queries-file",
                         default=os.environ.get("DOCUMENT_QUERIES_FILE",
                                                "data/short_facts_queries.json"))
+    parser.add_argument("--query-sample", default="cycle",
+                        choices=["cycle", "random"],
+                        help="pool traversal: sequential cycle (default) or "
+                             "seeded uniform random sampling")
     parser.add_argument("--output", default=None, help="results JSON path")
     args = parser.parse_args()
 
     queries = load_queries(args.queries_file)
     metrics = asyncio.run(run_load_test(
         args.endpoint, args.pattern, args.rps, args.duration, args.seed,
-        args.timeout, queries, k=args.k, poll_interval=args.poll_interval))
+        args.timeout, queries, k=args.k, poll_interval=args.poll_interval,
+        query_sample=args.query_sample))
     metrics.print_summary()
     if args.output:
         metrics.save_results(args.output)

@@ -95,6 +95,11 @@ class Settings:
     # HBM budget for the prefix cache (LRU beyond this)
     prefix_cache_mb: int = field(
         default_factory=lambda: int(_env("PREFIX_CACHE_MB", "2048")))
+    # entry storage: 'compute' (engine dtype — bit-exact reuse) | 'int8'
+    # (half the HBM per entry → ~2x capacity; standard KV quantization,
+    # not bit-exact)
+    prefix_cache_dtype: str = field(
+        default_factory=lambda: _env("PREFIX_CACHE_DTYPE", "compute"))
     # weight-only quantization for the decoder: 'none' | 'int8'
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
     # activation quantization for the PREFILL matmuls (W8A8 on the MXU's

@@ -214,6 +214,7 @@ class RagEngine:
         # model-sharded and entry stacking would need per-axis layouts — off)
         self.prefix_cache = None
         self._zero_prefix = None
+        self.prefix_int8 = False
         if settings.prefix_cache and n_dev == 1:
             c = self.dec_cfg
             # no point caching beyond the longest prompt the engine ever
@@ -221,17 +222,20 @@ class RagEngine:
             # (prefix slots + suffix) tight
             pool_len = min(settings.prefix_pool_len,
                            max(settings.prompt_len_buckets))
-            entry_bytes = (c.num_layers * 2 * pool_len *
-                           c.num_kv_heads * c.head_dim *
-                           jnp.dtype(self.dtype).itemsize)
+            self.prefix_int8 = settings.prefix_cache_dtype == "int8"
+            slots = c.num_layers * 2 * pool_len * c.num_kv_heads
+            if self.prefix_int8:  # int8 values + one f32 scale per head-dim row
+                entry_bytes = slots * (c.head_dim + 4)
+            else:
+                entry_bytes = slots * c.head_dim * jnp.dtype(self.dtype).itemsize
             self.prefix_cache = PrefixKVCache(
                 pool_len=pool_len,
                 entry_bytes=entry_bytes,
                 budget_mb=settings.prefix_cache_mb)
-            logger.info("prefix-KV cache on: pool_len=%d, %.1f MB/entry, "
-                        "capacity %d entries",
-                        pool_len, entry_bytes / 2**20,
-                        self.prefix_cache.capacity)
+            logger.info("prefix-KV cache on: pool_len=%d, %s storage, "
+                        "%.1f MB/entry, capacity %d entries",
+                        pool_len, "int8" if self.prefix_int8 else "compute",
+                        entry_bytes / 2**20, self.prefix_cache.capacity)
 
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
@@ -429,20 +433,37 @@ class RagEngine:
             kv = compute_prefix_kv(self.dec_params, self.dec_cfg,
                                    jnp.asarray(pids), jnp.asarray(pmask),
                                    dtype=self.dtype, act_quant=self.act_quant)
-            fresh = {k: cache.put(k, need[k], kv[i])
-                     for i, k in enumerate(keys)}
+            if self.prefix_int8:
+                from rag_serving_system_tpu.models.qwen2 import quantize_prefix_kv
+                qv, qs = quantize_prefix_kv(kv)
+                fresh = {k: cache.put(k, need[k], (qv[i], qs[i]))
+                         for i, k in enumerate(keys)}
+            else:
+                fresh = {k: cache.put(k, need[k], kv[i])
+                         for i, k in enumerate(keys)}
             entries = [fresh.get(e, e) if not hasattr(e, "kv") else e
                        for e in entries]
-        if self._zero_prefix is None or self._zero_prefix.shape[2] != pool_len:
+        if self._zero_prefix is None:
             c = self.dec_cfg
-            self._zero_prefix = jnp.zeros(
-                (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim),
-                dtype=self.dtype)
-        prefix_kv = jnp.stack(
-            [e.kv if e is not None else self._zero_prefix for e in entries])
+            shape = (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim)
+            if self.prefix_int8:
+                self._zero_prefix = (
+                    jnp.zeros(shape, dtype=jnp.int8),
+                    jnp.ones(shape[:-1] + (1,), dtype=jnp.float32))
+            else:
+                self._zero_prefix = jnp.zeros(shape, dtype=self.dtype)
         prefix_len = jnp.asarray(
             [len(e.tokens) if e is not None else 0 for e in entries],
             dtype=jnp.int32)
+        if self.prefix_int8:
+            prefix_kv = (
+                jnp.stack([e.kv[0] if e is not None else self._zero_prefix[0]
+                           for e in entries]),
+                jnp.stack([e.kv[1] if e is not None else self._zero_prefix[1]
+                           for e in entries]))
+        else:
+            prefix_kv = jnp.stack(
+                [e.kv if e is not None else self._zero_prefix for e in entries])
         return prefix_kv, prefix_len
 
     def finalize_tokens(self, handle) -> List[str]:

@@ -107,7 +107,7 @@ def prefill(
     max_new_tokens: int,
     dtype=jnp.bfloat16,
     act_quant: bool = False,    # W8A8 matmuls (prefill is compute-bound)
-    prefix_kv: jax.Array | None = None,   # (B, L, 2, PL, Hk, D) cached ctx KV
+    prefix_kv=None,                       # (B, L, 2, PL, Hk, D) cached ctx KV
     prefix_len: jax.Array | None = None,  # (B,) int32 valid prefix tokens
 ) -> tuple[jax.Array, KVCache]:
     """Full forward over the prompt. Returns (last-position logits (B, V) f32,
@@ -120,9 +120,15 @@ def prefill(
     `input_ids` continue at positions prefix_len[b].., attend to
     [valid prefix slots] + [causal suffix], and the returned cache is the
     concatenation — numerically identical attention to prefilling the whole
-    prompt, but only the suffix pays matmul FLOPs."""
+    prompt, but only the suffix pays matmul FLOPs.
+
+    `prefix_kv` may also be an (int8 values, scales) pair (see
+    `quantize_prefix_kv`) — halves cache HBM per entry; the dequant multiply
+    fuses into the attention reads, so only int8 streams from HBM."""
     b, p = input_ids.shape
-    pl_ = 0 if prefix_kv is None else prefix_kv.shape[3]
+    px_q, px_s = (prefix_kv if isinstance(prefix_kv, (tuple, list))
+                  else (prefix_kv, None))
+    pl_ = 0 if prefix_kv is None else px_q.shape[3]
     t_max = pl_ + p + max_new_tokens
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     # left-padded → positions count real tokens from the left edge of content
@@ -164,8 +170,12 @@ def prefill(
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
         if prefix_kv is not None:
-            k = jnp.concatenate([prefix_kv[:, li, 0].astype(k.dtype), k], axis=1)
-            v = jnp.concatenate([prefix_kv[:, li, 1].astype(v.dtype), v], axis=1)
+            pk, pv = px_q[:, li, 0], px_q[:, li, 1]
+            if px_s is not None:  # int8 storage: dequant fused into the read
+                pk = pk.astype(k.dtype) * px_s[:, li, 0].astype(k.dtype)
+                pv = pv.astype(v.dtype) * px_s[:, li, 1].astype(v.dtype)
+            k = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+            v = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
         if use_flash:
             from rag_serving_system_tpu.ops.attention import flash_attention
             a = flash_attention(q, k, v, attention_mask, causal=True,
@@ -237,6 +247,22 @@ def compute_prefix_kv(
     # (M, L, 2, PL, Hk, D) in the cache's storage dtype
     kv = jnp.stack([jnp.stack(pair, axis=0) for pair in zip(ks, vs)], axis=0)
     return jnp.transpose(kv, (2, 0, 1, 3, 4, 5)).astype(dtype)
+
+
+@jax.jit
+def quantize_prefix_kv(kv: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric int8 quantization of prefix KV along the head dim:
+    (..., Hk, D) → int8 values + per-(token, head) f32 scale (..., Hk, 1).
+
+    Halves prefix-cache HBM per entry vs bf16 (the scale is 4 bytes per 128
+    values); the dequant in `prefill` is a broadcast multiply that XLA fuses
+    into the attention operand read. Standard KV-cache quantization — NOT
+    bit-exact, opt into with PREFIX_CACHE_DTYPE=int8 (quality bound pinned in
+    tests/test_prefix_cache.py)."""
+    amax = jnp.max(jnp.abs(kv.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(kv.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale.astype(jnp.float32)
 
 
 def decode_step(
@@ -364,7 +390,8 @@ def generate(
     if prefix_kv is not None:
         # decode sees one combined "prompt" of length PL + P: the prefix part
         # is LEFT-aligned valid-for-prefix_len, the suffix part left-padded
-        pl_ = prefix_kv.shape[3]
+        pl_ = (prefix_kv[0] if isinstance(prefix_kv, (tuple, list))
+               else prefix_kv).shape[3]
         pref_mask = (jnp.arange(pl_)[None, :] < prefix_len[:, None]).astype(
             attention_mask.dtype)
         attention_mask = jnp.concatenate([pref_mask, attention_mask], axis=1)
