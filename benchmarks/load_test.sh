@@ -62,6 +62,8 @@ for RPS in $(rps_ladder); do
     python benchmarks/load_generator.py \
       --endpoint "$ENDPOINT" --pattern "$PATTERN" --rps "$RPS" \
       --duration "$DURATION" --seed "$SEED" --timeout "$TIMEOUT" \
+      --query-sample "${QUERY_SAMPLE:-cycle}" \
+      ${QUERIES_FILE:+--queries-file "$QUERIES_FILE"} \
       --output "$OUT_JSON" || { echo "run failed"; STOPPED[$PATTERN]=1; continue; }
     ROW=$(extract_metrics "$OUT_JSON" "$PATTERN" "$RPS" 2> /tmp/p99.txt)
     echo "$ROW" >> "$CSV"

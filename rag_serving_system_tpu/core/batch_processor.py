@@ -90,8 +90,12 @@ class BatchProcessor(threading.Thread):
                     stage = (getattr(self.engine, "stage_prompts", None)
                              if self.stage_on_prefetch else None)
                     if len(batch) > cap:
+                        # PromptSpec.sort_len orders by SUFFIX length when a
+                        # prefix-KV cache handles the context part
                         order = sorted(range(len(batch)),
-                                       key=lambda i: len(prompts[i]))
+                                       key=lambda i: getattr(
+                                           prompts[i], "sort_len",
+                                           len(prompts[i])))
                         for lo in range(0, len(order), cap):
                             grp = order[lo:lo + cap]
                             gp = [prompts[i] for i in grp]

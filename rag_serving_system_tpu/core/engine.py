@@ -232,6 +232,12 @@ class RagEngine:
                 pool_len=pool_len,
                 entry_bytes=entry_bytes,
                 budget_mb=settings.prefix_cache_mb)
+            # compute_prefix_kv compiles per batch shape — keep the shape set
+            # tiny ({1, 8, cap}) so warmup can pre-compile ALL of them and no
+            # XLA compile ever lands mid-serving on a cache miss
+            cap = self.batch_buckets[-1]
+            self.prefix_compute_buckets = sorted(
+                {b for b in (1, 8, cap) if b <= cap})
             logger.info("prefix-KV cache on: pool_len=%d, %s storage, "
                         "%.1f MB/entry, capacity %d entries",
                         pool_len, "int8" if self.prefix_int8 else "compute",
@@ -402,6 +408,19 @@ class RagEngine:
                         prefix_kv=prefix_kv, prefix_len=prefix_len)
         return toks, n
 
+    def _ensure_zero_prefix(self) -> None:
+        if self._zero_prefix is not None:
+            return
+        c = self.dec_cfg
+        pool_len = self.prefix_cache.pool_len
+        shape = (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim)
+        if self.prefix_int8:
+            self._zero_prefix = (
+                jnp.zeros(shape, dtype=jnp.int8),
+                jnp.ones(shape[:-1] + (1,), dtype=jnp.float32))
+        else:
+            self._zero_prefix = jnp.zeros(shape, dtype=self.dtype)
+
     def _resolve_prefixes(self, metas):
         """Map per-row (key, prefix tokens) to device KV entries: cache hits
         are reused; the batch's distinct misses are computed in ONE batched
@@ -425,7 +444,7 @@ class RagEngine:
                 entries.append(e)
         if need:
             keys = list(need)
-            mb = pick_bucket(self.batch_buckets, len(keys))
+            mb = pick_bucket(self.prefix_compute_buckets, len(keys))
             rows = [list(need[k]) for k in keys] + [[]] * (mb - len(keys))
             pids, pmask = pad_and_stack(rows, pool_len, self.dec_tok.pad_id,
                                         pad_side="right")
@@ -443,15 +462,7 @@ class RagEngine:
                          for i, k in enumerate(keys)}
             entries = [fresh.get(e, e) if not hasattr(e, "kv") else e
                        for e in entries]
-        if self._zero_prefix is None:
-            c = self.dec_cfg
-            shape = (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim)
-            if self.prefix_int8:
-                self._zero_prefix = (
-                    jnp.zeros(shape, dtype=jnp.int8),
-                    jnp.ones(shape[:-1] + (1,), dtype=jnp.float32))
-            else:
-                self._zero_prefix = jnp.zeros(shape, dtype=self.dtype)
+        self._ensure_zero_prefix()
         prefix_len = jnp.asarray(
             [len(e.tokens) if e is not None else 0 for e in entries],
             dtype=jnp.int32)
@@ -511,6 +522,65 @@ class RagEngine:
         return [{"result": a} for a in answers]
 
     def warmup(self, batch_sizes: Sequence[int] | None = None) -> None:
-        """Pre-compile the hot buckets so first requests don't pay compile."""
-        for b in (batch_sizes or [self.settings.max_batch_size]):
+        """Pre-compile the hot buckets so first requests don't pay compile.
+
+        WARMUP_FULL=1 covers the FULL compile matrix — every (batch bucket ×
+        encode bucket) stage-1 shape and every (batch bucket × suffix bucket)
+        prefix-generate shape — so no XLA compile can ever land mid-serving.
+        That is the static-shape tax of bucketed XLA serving; the persistent
+        compile cache makes it one-time per machine."""
+        import os
+
+        sizes = list(batch_sizes or [self.settings.max_batch_size])
+        for b in sizes:
             self.process(["warmup query"] * b, [1] * b)
+        full = os.environ.get("WARMUP_FULL", "0") == "1"
+        if full:
+            # stage-1 embed+retrieve per (batch, encode-len) bucket
+            for b in sizes:
+                for elen in self.settings.encode_len_buckets[1:]:
+                    q = " ".join(f"w{i}" for i in range(max(elen - 8, 4)))
+                    self.embed_and_retrieve([q] * b, [1] * b)
+        if self.prefix_cache is not None:
+            # a long question lands in the bigger suffix bucket — compile it
+            long_q = "warmup " + " ".join(f"word{i}" for i in range(45))
+            self.process([long_q] * self.batch_buckets[-1],
+                         [1] * self.batch_buckets[-1])
+            # pre-compile every miss-compute shape (see prefix_compute_buckets)
+            pool_len = self.prefix_cache.pool_len
+            for mb in self.prefix_compute_buckets:
+                ids = np.zeros((mb, pool_len), np.int32)
+                mask = np.zeros((mb, pool_len), np.int32)
+                mask[:, 0] = 1
+                compute_prefix_kv(self.dec_params, self.dec_cfg,
+                                  jnp.asarray(ids), jnp.asarray(mask),
+                                  dtype=self.dtype, act_quant=self.act_quant)
+            self._warm_prefix_suffix_shapes(sizes if full else None)
+
+    def _warm_prefix_suffix_shapes(self, batch_sizes=None) -> None:
+        """Compile the prefix-variant generate for the overflow-suffix
+        buckets: contexts longer than the pool spill their tail into the
+        suffix, landing in prompt-size buckets — without this, the first such
+        batch pays an XLA compile mid-serving. Default warms the full batch
+        bucket only; pass batch_sizes (WARMUP_FULL) for the whole matrix."""
+        self._ensure_zero_prefix()
+        zp = self._zero_prefix
+        suffixes = [64] + [s for s in self.settings.prompt_len_buckets
+                           if s <= (256 if batch_sizes else 192)]
+        for b in (batch_sizes or [self.batch_buckets[-1]]):
+            if self.prefix_int8:
+                prefix_kv = (jnp.broadcast_to(zp[0], (b,) + zp[0].shape),
+                             jnp.broadcast_to(zp[1], (b,) + zp[1].shape))
+            else:
+                prefix_kv = jnp.broadcast_to(zp, (b,) + zp.shape)
+            for s_len in suffixes:
+                ids = jnp.zeros((b, s_len), jnp.int32)
+                mask = jnp.zeros((b, s_len), jnp.int32).at[:, -1].set(1)
+                self._rng, rng = jax.random.split(self._rng)
+                generate(self.dec_params, self.dec_cfg, ids, mask, rng,
+                         max_new_tokens=self.settings.max_new_tokens,
+                         do_sample=self.settings.do_sample, dtype=self.dtype,
+                         row_valid=jnp.ones((b,), bool),
+                         act_quant=self.act_quant,
+                         prefix_kv=prefix_kv,
+                         prefix_len=jnp.zeros((b,), jnp.int32))

@@ -114,11 +114,15 @@ class PromptSpec(str):
 
     prefix_text: str
     cache_key: Hashable
+    sort_len: int
 
     def __new__(cls, text: str, prefix_text: str = "", cache_key=None):
         s = super().__new__(cls, text)
         s.prefix_text = prefix_text
         s.cache_key = cache_key
+        # length-aware batch regrouping should order by what actually sets
+        # the prefill bucket: the SUFFIX (the prefix is cached KV)
+        s.sort_len = max(len(text) - len(prefix_text), 0)
         return s
 
 

@@ -210,6 +210,7 @@ def test_prompt_spec_is_a_string():
     assert p == "hello world" and len(p) == 11
     assert p.prefix_text == "hello" and p.cache_key == ("ctx", (1,))
     assert isinstance(p, str)
+    assert p.sort_len == 6  # suffix chars drive length-aware regrouping
 
 
 # ---------------------------------------------------------------------------
