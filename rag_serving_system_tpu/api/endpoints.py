@@ -61,24 +61,48 @@ def create_api(request_queue, processor=None, engine=None,
         requests_total_c.inc()
         return web.json_response({"request_id": request_id, "status": "processing"})
 
-    # get_result holds its worker thread up to 0.1 s per poll; a dedicated
-    # wide pool keeps thousands of concurrent pollers from starving the
-    # default executor (which aiohttp shares with everything else)
+    # Redis get_result holds its worker thread up to 0.1 s per poll; a
+    # dedicated wide pool keeps thousands of concurrent pollers from starving
+    # the default executor (which aiohttp shares with everything else). The
+    # in-memory backend never touches this pool — see the async path below.
     poll_pool = ThreadPoolExecutor(max_workers=256,
                                    thread_name_prefix="result-poll")
+    # in-memory backend: push notification → zero held threads per waiter,
+    # so long-polls scale with the event loop instead of the pool size
+    supports_push = hasattr(request_queue, "add_result_callback")
 
     async def get_result(request: web.Request) -> web.Response:
         request_id = request.match_info["request_id"]
         # optional server-side long-poll (?timeout=SECONDS, capped at 30):
-        # the in-memory backend waits on a threading.Event, so a long-poll
-        # costs one held pool thread instead of 3-4 client poll round trips.
+        # one held connection instead of 3-4 client poll round trips.
         # Default stays the reference's 0.1 s quick check.
         try:
             timeout = min(float(request.query.get("timeout", 0.1)), 30.0)
         except ValueError:
             timeout = 0.1
-        result = await asyncio.get_event_loop().run_in_executor(
-            poll_pool, lambda: request_queue.get_result(request_id, timeout))
+
+        if supports_push:
+            loop = asyncio.get_running_loop()
+            fut: asyncio.Future = loop.create_future()
+            # runs on the processor thread — hop back to the event loop
+            cb = lambda: loop.call_soon_threadsafe(  # noqa: E731
+                lambda: fut.done() or fut.set_result(True))
+            result = request_queue.add_result_callback(request_id, cb)
+            if result is None:
+                try:
+                    await asyncio.wait_for(fut, timeout)
+                except asyncio.TimeoutError:
+                    pass
+                finally:
+                    # no-op after a successful notify (store popped the cb);
+                    # required on timeout AND client-disconnect cancellation
+                    request_queue.cancel_result_callback(request_id, cb)
+                # pop whether notified or raced-at-timeout; the callback is
+                # notification-only, so the result (if any) is still stored
+                result = request_queue.get_result(request_id, timeout=0)
+        else:
+            result = await asyncio.get_event_loop().run_in_executor(
+                poll_pool, lambda: request_queue.get_result(request_id, timeout))
         if result is None:
             return web.json_response({"status": "processing"})
         return web.json_response({"status": "complete", "result": result})

@@ -100,7 +100,8 @@ class Settings:
     # not bit-exact)
     prefix_cache_dtype: str = field(
         default_factory=lambda: _env("PREFIX_CACHE_DTYPE", "compute"))
-    # weight-only quantization for the decoder: 'none' | 'int8'
+    # weight-only quantization for the decoder: 'none' | 'int8' | 'int4'
+    # (int4 = group-128 matmul weights + int8 embed/head; see ops/quant.py)
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))
     # activation quantization for the PREFILL matmuls (W8A8 on the MXU's
     # int8 path): 'none' | 'int8'; requires quant_weights=int8

@@ -157,15 +157,19 @@ class RagEngine:
                     "hf" if enc_real else "random-init",
                     "hf" if dec_real else "random-init")
 
-        if settings.quant_weights == "int8":
+        if settings.quant_weights in ("int8", "int4"):
             from rag_serving_system_tpu.ops.quant import quantize_decoder_params
 
-            self.dec_params = quantize_decoder_params(self.dec_params)
-            logger.info("decoder weights quantized to int8 (per-channel)")
+            bits = 4 if settings.quant_weights == "int4" else 8
+            self.dec_params = quantize_decoder_params(self.dec_params, bits=bits)
+            logger.info("decoder weights quantized to %s (%s)",
+                        settings.quant_weights,
+                        "group-128 matmuls, int8 embed/head" if bits == 4
+                        else "per-channel")
         self.act_quant = (settings.quant_act == "int8"
-                          and settings.quant_weights == "int8")
+                          and settings.quant_weights in ("int8", "int4"))
         if settings.quant_act == "int8" and not self.act_quant:
-            logger.warning("QUANT_ACT=int8 requires QUANT_WEIGHTS=int8; "
+            logger.warning("QUANT_ACT=int8 requires QUANT_WEIGHTS=int8/int4; "
                            "prefill stays bf16")
 
         self.enc_tok = (get_tokenizer(settings.embed_model_name, self.enc_cfg.vocab_size)

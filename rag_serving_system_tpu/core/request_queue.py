@@ -51,6 +51,7 @@ class RequestQueue:
         self._lock = threading.Lock()
         self._results: dict[str, tuple[float, Any]] = {}  # id → (stored_at, result)
         self._events: dict[str, threading.Event] = {}
+        self._callbacks: dict[str, list] = {}  # id → notification callbacks
         self._stores_since_sweep = 0
 
     def add_request(self, query: str, k: int = 2) -> str:
@@ -98,12 +99,15 @@ class RequestQueue:
         with self._lock:
             self._results[request_id] = (time.time(), result)
             ev = self._events.pop(request_id, None)
+            cbs = self._callbacks.pop(request_id, ())
             self._stores_since_sweep += 1
             if self._stores_since_sweep >= 256:
                 self._stores_since_sweep = 0
                 self._sweep_expired_locked()
         if ev is not None:
             ev.set()
+        for cb in cbs:  # outside the lock — callbacks may do arbitrary work
+            cb()
 
     def _pop_locked(self, request_id: str) -> Optional[Any]:
         entry = self._results.pop(request_id, None)
@@ -124,6 +128,36 @@ class RequestQueue:
                 return self._pop_locked(request_id)
         with self._lock:
             return self._pop_locked(request_id)
+
+    # -- async-friendly result notification (used by the API's long-poll) ---
+    #
+    # The callback is a pure NOTIFICATION — it consumes nothing. The waiter
+    # pops the result with get_result(id, timeout=0) when notified, so
+    # consume-once semantics and the abandoned-result TTL sweep are shared
+    # with the threaded path, and a callback that fires after the waiter
+    # gave up loses nothing.
+
+    def add_result_callback(self, request_id: str, cb) -> Optional[Any]:
+        """If the result is already stored, pop and return it immediately
+        (no callback registered). Otherwise register `cb` to be invoked
+        (from the processor thread) when store_result lands, and return
+        None."""
+        with self._lock:
+            if request_id in self._results:
+                return self._pop_locked(request_id)
+            self._callbacks.setdefault(request_id, []).append(cb)
+            return None
+
+    def cancel_result_callback(self, request_id: str, cb) -> None:
+        with self._lock:
+            lst = self._callbacks.get(request_id)
+            if lst is not None:
+                try:
+                    lst.remove(cb)
+                except ValueError:
+                    pass
+                if not lst:
+                    del self._callbacks[request_id]
 
     # introspection used by /metrics
     def queue_size(self) -> int:

@@ -23,7 +23,18 @@ def dense(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     mathematically identical to dequant-then-matmul but guarantees no f32/
     bf16 weight copy is ever materialized in HBM — the weight stream stays
     1 byte/element, which is the whole point of int8 decode."""
-    if hasattr(w, "q"):  # QuantizedWeight
+    if hasattr(w, "q") and w.q.ndim == 3:  # QuantizedWeight4 (grouped int4)
+        from rag_serving_system_tpu.ops.quant import unpack_int4
+
+        gq, g2, o = w.q.shape
+        xg = x.reshape(*x.shape[:-1], gq, 2 * g2)
+        # per-group partial products, scaled per (group, out), summed — the
+        # packed int4 bytes are the only weight stream (the nibble unpack is
+        # elementwise and fuses into the operand read); scale is tiny
+        y = jnp.einsum("...gi,gio->...go", xg, unpack_int4(w.q).astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = jnp.sum(y * w.scale[:, 0, :], axis=-2)
+    elif hasattr(w, "q"):  # QuantizedWeight (int8)
         y = jnp.einsum("...i,io->...o", x, w.q.astype(x.dtype),
                        preferred_element_type=jnp.float32)
         y = y * w.scale  # (1, out) f32 — fused epilogue, not a weight copy
@@ -46,9 +57,18 @@ def dense_w8a8(x: jax.Array, w, b: jax.Array | None = None) -> jax.Array:
     from rag_serving_system_tpu.ops.quant import quantize_act_int8
 
     xq, xs = quantize_act_int8(x)
-    acc = jnp.einsum("...i,io->...o", xq, w.q,
-                     preferred_element_type=jnp.int32)
-    y = acc.astype(jnp.float32) * xs * w.scale   # (...,1)*(1,out) broadcast
+    if w.q.ndim == 3:  # grouped int4 weights → W4A8 per-group int8 matmuls
+        from rag_serving_system_tpu.ops.quant import unpack_int4
+
+        gq, g2, o = w.q.shape
+        xqg = xq.reshape(*xq.shape[:-1], gq, 2 * g2)
+        acc = jnp.einsum("...gi,gio->...go", xqg, unpack_int4(w.q),
+                         preferred_element_type=jnp.int32)
+        y = jnp.sum(acc.astype(jnp.float32) * w.scale[:, 0, :], axis=-2) * xs
+    else:
+        acc = jnp.einsum("...i,io->...o", xq, w.q,
+                         preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * xs * w.scale  # (...,1)*(1,out) broadcast
     if b is not None:
         y = y + b.astype(y.dtype)
     return y.astype(x.dtype)

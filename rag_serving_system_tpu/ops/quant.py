@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization (opt-in, QUANT_WEIGHTS=int8).
+"""Weight-only int8 / int4 quantization (opt-in, QUANT_WEIGHTS=int8|int4).
 
 Decode steps are weight-bandwidth-bound: every generated token re-reads all
 decoder weights from HBM (~3.1 GB in bf16 for Qwen2.5-1.5B). Per-output-
@@ -6,14 +6,30 @@ channel symmetric int8 halves those bytes; the dequant (convert + scale)
 fuses into the matmul operand load on TPU, so no bf16 weight copy is ever
 materialized in HBM.
 
-Representation: a `QuantizedWeight(q, scale)` pytree node wherever a 2-D
-dense weight lived; `models.layers.dense` accepts either a plain array or a
-QuantizedWeight. Embeddings/norms/biases stay bf16 (gathers don't benefit
-and norms are precision-sensitive).
+int4 halves the stream AGAIN for the 2-D matmul weights. Per-output-channel
+scaling is too coarse at 4 bits, so int4 uses the standard GROUP-WISE scheme
+(one scale per `group` input elements per output channel, default 128 — the
+AWQ/GPTQ granularity); the matmul becomes a grouped einsum with the scale
+applied per (group, out) partial product. Embedding / tied LM head stay int8
+per-row in int4 mode: they're the precision-sensitive leaves and the smaller
+share of the stream.
+
+Storage is TWO NIBBLES PACKED PER int8 BYTE (group half j pairs with half
+j + g/2), NOT the jnp.int4 dtype: the current TPU runtime cannot pass
+sub-byte arrays across jit boundaries (device re-layout recurses), and a
+packed-int8 representation is exactly as small in HBM while staying a
+plain dtype everywhere. The consuming matmul sign-extends the nibbles with
+two arithmetic shifts — elementwise ops XLA fuses into the operand read.
+
+Representation: `QuantizedWeight(q, scale)` (int8, q 2-D) or
+`QuantizedWeight4(q, scale)` (packed int4-in-int8, q 3-D grouped) pytree
+nodes wherever a 2-D dense weight lived; `models.layers.dense` accepts
+plain arrays or either node. Norms/biases stay bf16.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Union
 
 import jax
@@ -25,7 +41,14 @@ class QuantizedWeight(NamedTuple):
     scale: jax.Array    # (1, out) f32 — per-output-channel
 
 
-WeightLike = Union[jax.Array, QuantizedWeight]
+class QuantizedWeight4(NamedTuple):
+    # input dim split into G groups of g; two int4 values packed per byte:
+    # byte [G, j, out] holds nibbles for group rows j (low) and j + g/2 (high)
+    q: jax.Array        # (G, g/2, out) int8 — packed int4 pairs
+    scale: jax.Array    # (G, 1, out) f32 — per-(group, output-channel)
+
+
+WeightLike = Union[jax.Array, QuantizedWeight, QuantizedWeight4]
 
 
 def quantize_int8(w: jax.Array) -> QuantizedWeight:
@@ -37,8 +60,41 @@ def quantize_int8(w: jax.Array) -> QuantizedWeight:
     return QuantizedWeight(q=q, scale=scale)
 
 
-def dequantize(qw: QuantizedWeight, dtype=jnp.bfloat16) -> jax.Array:
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """(G, g/2, out) packed int8 → (G, g, out) int8 nibble values in [-8, 7].
+
+    Sign extension = two arithmetic shifts (int8 stays int8 throughout);
+    these are elementwise VPU ops that fuse into the consuming matmul's
+    operand read, so only the packed bytes stream from HBM."""
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)   # low nibble
+    hi = jnp.right_shift(packed, 4)                       # high nibble
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def dequantize(qw, dtype=jnp.bfloat16) -> jax.Array:
+    """Materialize the fp weight (tests / oracles only — the serving matmuls
+    never call this). Accepts QuantizedWeight or QuantizedWeight4."""
+    if qw.q.ndim == 3:  # grouped packed int4 → (in, out)
+        w = unpack_int4(qw.q).astype(jnp.float32) * qw.scale
+        return w.reshape(-1, w.shape[-1]).astype(dtype)
     return (qw.q.astype(jnp.float32) * qw.scale).astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("group",))
+def quantize_int4(w: jax.Array, group: int = 128) -> QuantizedWeight4:
+    """Group-wise symmetric int4 quantization of an (in, out) weight,
+    packed two nibbles per byte (see QuantizedWeight4)."""
+    i, o = w.shape
+    g = min(group, i)
+    if i % g or g % 2:  # need even group size dividing the input dim
+        g = i if i % 2 == 0 else 1
+    wf = w.astype(jnp.float32).reshape(i // g, g, o)
+    amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)           # (G, 1, out)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int32)
+    lo, hi = q[:, : g // 2], q[:, g // 2:]
+    packed = ((hi << 4) | (lo & 0xF)).astype(jnp.int8)  # wraps to bit pattern
+    return QuantizedWeight4(q=packed, scale=scale)
 
 
 def quantize_act_int8(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -66,13 +122,22 @@ def quantize_rows_int8(w: jax.Array) -> QuantizedWeight:
     return QuantizedWeight(q=q, scale=scale)
 
 
-def quantize_decoder_params(params: dict) -> dict:
+def quantize_decoder_params(params: dict, bits: int = 8,
+                            group: int = 128) -> dict:
     """Quantize every 2-D matmul weight in a decoder pytree, plus the (tied)
     token-embedding matrix — the LM head re-reads it every decode step, so
     it is the single largest weight stream. Norms and biases stay bf16.
-    Returns a new pytree with QuantizedWeight leaves (same key names, so TP
-    sharding rules still apply to `.q`)."""
-    quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2", "lm_head"}
+    Returns a new pytree with QuantizedWeight(4) leaves (same key names, so
+    TP sharding rules still apply to `.q`).
+
+    bits=4: matmul weights go group-wise int4 (see `quantize_int4`); the
+    embedding / tied LM head and any untied `lm_head` STAY int8 — per-row
+    int8 is already within 0.4% on those and they are the quality-critical
+    leaves."""
+    assert bits in (4, 8), bits
+    quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2"}
+    quant_mat = quantize_int8 if bits == 8 else functools.partial(
+        quantize_int4, group=group)
 
     def walk(tree):
         if isinstance(tree, dict):
@@ -80,8 +145,10 @@ def quantize_decoder_params(params: dict) -> dict:
             for k, v in tree.items():
                 if k == "embed" and getattr(v, "ndim", 0) == 2:
                     out[k] = quantize_rows_int8(v)
-                elif k in quant_keys and getattr(v, "ndim", 0) == 2:
+                elif k == "lm_head" and getattr(v, "ndim", 0) == 2:
                     out[k] = quantize_int8(v)
+                elif k in quant_keys and getattr(v, "ndim", 0) == 2:
+                    out[k] = quant_mat(v)
                 else:
                     out[k] = walk(v)
             return out

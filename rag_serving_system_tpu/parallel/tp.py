@@ -44,6 +44,17 @@ def param_shardings(params, mesh: Mesh):
     and their (1, out) scale along the same output axis."""
 
     def leaf_sharding(key, v):
+        if hasattr(v, "q") and v.q.ndim == 3:  # QuantizedWeight4 (G, g, out)
+            from rag_serving_system_tpu.ops.quant import QuantizedWeight4
+
+            if key in _COL:      # shard output dim
+                w_spec, s_spec = P(None, None, "model"), P(None, None, "model")
+            elif key in _ROW:    # shard input dim = the group axis
+                w_spec, s_spec = P("model", None, None), P("model", None, None)
+            else:
+                w_spec = s_spec = P(None, None, None)
+            return QuantizedWeight4(q=NamedSharding(mesh, w_spec),
+                                    scale=NamedSharding(mesh, s_spec))
         if hasattr(v, "q"):  # ops.quant.QuantizedWeight
             from rag_serving_system_tpu.ops.quant import QuantizedWeight
 

@@ -48,10 +48,13 @@ def main():
     act_quant = os.environ.get("QUANT_ACT", "none") == "int8"
 
     params = init_decoder_params(cfg, dtype=jnp.bfloat16)
-    if quant == "int8":
+    if quant in ("int8", "int4"):
         from rag_serving_system_tpu.ops.quant import quantize_decoder_params
-        params = quantize_decoder_params(params)
-    params = jax.device_put(params)
+        params = quantize_decoder_params(
+            params, bits=4 if quant == "int4" else 8,
+            group=int(os.environ.get("GROUP", "128")))
+    else:
+        params = jax.device_put(params)
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(10, cfg.vocab_size - 10, (batch, plen)),

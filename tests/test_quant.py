@@ -137,3 +137,96 @@ def test_engine_serves_with_int8_and_w8a8():
     assert engine.act_quant
     results = engine.process(["what is four times four?", "nine?"], [2, 2])
     assert len(results) == 2 and all(isinstance(r["result"], str) for r in results)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise) — QUANT_WEIGHTS=int4
+# ---------------------------------------------------------------------------
+
+def test_quantize_int4_roundtrip_error(rng):
+    from rag_serving_system_tpu.ops.quant import quantize_int4
+
+    w = jnp.asarray(rng.standard_normal((256, 96)).astype(np.float32) * 0.02)
+    qw = quantize_int4(w, group=128)
+    # two nibbles packed per int8 byte: (G, g/2, out)
+    assert qw.q.dtype == jnp.int8 and qw.q.shape == (2, 64, 96)
+    assert qw.scale.shape == (2, 1, 96)
+    err = np.abs(np.asarray(dequantize(qw, jnp.float32)) - np.asarray(w))
+    steps = np.repeat(np.asarray(qw.scale)[:, 0, :], 128, axis=0)  # (256, 96)
+    assert (err <= steps * 0.51 + 1e-8).all()
+
+
+def test_dense_int4_matches_dequant_oracle(rng):
+    from rag_serving_system_tpu.ops.quant import quantize_int4
+
+    x = jnp.asarray(rng.standard_normal((4, 256)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((256, 64)).astype(np.float32) * 0.02)
+    qw = quantize_int4(w, group=128)
+    y_grouped = np.asarray(dense(x, qw))
+    y_oracle = np.asarray(x) @ np.asarray(dequantize(qw, jnp.float32))
+    np.testing.assert_allclose(y_grouped, y_oracle, rtol=1e-4, atol=1e-5)
+
+
+def test_w4a8_dense_tracks_int4_oracle(rng):
+    """The int8-activation leg of W4A8 must add almost nothing on top of the
+    int4 weight error: compare against dequant(int4) @ x in f32. (Against the
+    UNquantized f32 matmul, int4 g=128 on gaussian weights is ~12% RMS — the
+    intrinsic 4-bit error, which real trained weights tolerate far better
+    than white noise does.)"""
+    from rag_serving_system_tpu.models.layers import dense_w8a8
+    from rag_serving_system_tpu.ops.quant import quantize_int4
+
+    x = jnp.asarray(rng.standard_normal((8, 256)), dtype=jnp.float32)
+    w = jnp.asarray(rng.standard_normal((256, 96)), dtype=jnp.float32)
+    qw = quantize_int4(w, group=128)
+    oracle = np.asarray(x) @ np.asarray(dequantize(qw, jnp.float32))
+    got = np.asarray(dense_w8a8(x, qw))
+    rms_rel = np.sqrt(np.mean((got - oracle) ** 2) / np.mean(oracle ** 2))
+    assert rms_rel < 0.02, rms_rel  # the A8 part: ~0.4% per-token act error
+
+
+def test_quantize_decoder_params_int4_structure():
+    from rag_serving_system_tpu.ops.quant import QuantizedWeight4
+
+    params = init_decoder_params(QWEN2_TINY, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params, bits=4)
+    layer = qparams["layers"][0]
+    for key in ("qkv_w", "o_w", "gu_w", "down_w"):
+        assert isinstance(layer[key], QuantizedWeight4), key
+        assert layer[key].q.dtype == jnp.int8 and layer[key].q.ndim == 3
+    # embed (tied head) stays int8 per-row — the precision-sensitive leaf
+    assert isinstance(qparams["embed"], QuantizedWeight)
+    assert qparams["embed"].q.dtype == jnp.int8
+
+
+def test_int4_generate_runs_and_correlates():
+    cfg = QWEN2_TINY
+    params = init_decoder_params(cfg, seed=1, dtype=jnp.float32)
+    qparams = quantize_decoder_params(params, bits=4)
+    ids = jnp.asarray([[7, 23, 99, 45, 12, 88]], dtype=jnp.int32)
+    mask = jnp.ones_like(ids)
+    logits_fp, _ = prefill(params, cfg, ids, mask, 1, dtype=jnp.float32)
+    logits_q, _ = prefill(qparams, cfg, ids, mask, 1, dtype=jnp.float32)
+    a, b = np.asarray(logits_fp[0]), np.asarray(logits_q[0])
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.97, corr
+    toks = generate(qparams, cfg, ids, mask, jax.random.PRNGKey(0),
+                    max_new_tokens=4, do_sample=False, dtype=jnp.float32)
+    assert toks.shape == (1, 4)
+
+
+def test_engine_serves_with_int4():
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    rng = np.random.default_rng(0)
+    docs = [f"Fact {i}: the answer is {i * i}." for i in range(20)]
+    emb = rng.standard_normal((20, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[2], encode_len_buckets=[16],
+                        prompt_len_buckets=[64], max_new_tokens=2, max_k=4,
+                        quant_weights="int4", quant_act="int8")
+    engine = RagEngine(settings, docs, emb)
+    assert engine.act_quant
+    results = engine.process(["q one", "q two"], [2, 2])
+    assert len(results) == 2 and all("result" in r for r in results)

@@ -231,3 +231,45 @@ def test_replica_failover_drains_remaining_work(redis_queue):
             assert res is not None and "result" in res
     finally:
         alive.stop()
+
+
+# ---------------------------------------------------------------------------
+# async-notification callbacks (the API long-poll's zero-thread wait path)
+# ---------------------------------------------------------------------------
+
+def test_result_callback_notifies_on_store():
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+
+    q = RequestQueue()
+    rid = q.add_request("hello", 2)
+    fired = threading.Event()
+    assert q.add_result_callback(rid, fired.set) is None
+    q.store_result(rid, {"result": "x"})
+    assert fired.wait(1.0)
+    # notification-only: the result is still stored until popped
+    assert q.get_result(rid, timeout=0) == {"result": "x"}
+    assert q.get_result(rid, timeout=0) is None  # consume-once
+
+
+def test_result_callback_immediate_when_already_stored():
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+
+    q = RequestQueue()
+    rid = q.add_request("hello", 2)
+    q.store_result(rid, {"result": "y"})
+    got = q.add_result_callback(rid, lambda: (_ for _ in ()).throw(
+        AssertionError("must not register")))
+    assert got == {"result": "y"}
+
+
+def test_result_callback_cancel():
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+
+    q = RequestQueue()
+    rid = q.add_request("hello", 2)
+    fired = threading.Event()
+    q.add_result_callback(rid, fired.set)
+    q.cancel_result_callback(rid, fired.set)
+    q.store_result(rid, {"result": "z"})
+    assert not fired.wait(0.1)
+    assert q.get_result(rid, timeout=0) == {"result": "z"}
