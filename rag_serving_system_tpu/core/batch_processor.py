@@ -12,6 +12,7 @@ TPU-era differences:
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import queue
 import threading
@@ -181,7 +182,15 @@ class BatchProcessor(threading.Thread):
 
     def _finalize_and_store(self, request_ids: list, handle) -> None:
         try:
-            answers = self.engine.finalize_tokens(handle)
+            # in the pipelined path this is where generation time is actually
+            # PAID (the dispatch above returns immediately): waiting out the
+            # device plus the token transfer + detokenize. Recorded as the
+            # "generate" stage so /stats reflects steady-state serving — the
+            # serial engine.process path records the same stage name.
+            timer = getattr(self.engine, "timer", None)
+            with (timer.stage("generate") if timer is not None
+                  else contextlib.nullcontext()):
+                answers = self.engine.finalize_tokens(handle)
             for rid, ans in zip(request_ids, answers):
                 try:
                     self.request_queue.store_result(rid, {"result": ans})

@@ -545,6 +545,25 @@ class RagEngine:
                 for elen in self.settings.encode_len_buckets[1:]:
                     q = " ".join(f"w{i}" for i in range(max(elen - 8, 4)))
                     self.embed_and_retrieve([q] * b, [1] * b)
+        if full and self.prefix_cache is None:
+            # no prefix cache → real batches land in FULL-prompt buckets
+            # (e.g. ~400-token SQuAD contexts → the 448 bucket); compile every
+            # (batch, prompt-len) generate now or the first such batch pays a
+            # multi-minute XLA compile mid-serving
+            for b in sizes:
+                for plen in self.settings.prompt_len_buckets:
+                    if plen > 1024:
+                        continue
+                    ids = jnp.zeros((b, plen), jnp.int32)
+                    mask = jnp.zeros((b, plen), jnp.int32)
+                    mask = mask.at[:, -1].set(1)
+                    self._rng, rng = jax.random.split(self._rng)
+                    generate(self.dec_params, self.dec_cfg, ids, mask, rng,
+                             max_new_tokens=self.settings.max_new_tokens,
+                             do_sample=self.settings.do_sample,
+                             dtype=self.dtype,
+                             row_valid=jnp.ones((b,), bool),
+                             act_quant=self.act_quant)
         if self.prefix_cache is not None:
             # a long question lands in the bigger suffix bucket — compile it
             long_q = "warmup " + " ".join(f"word{i}" for i in range(45))
@@ -560,6 +579,9 @@ class RagEngine:
                                   jnp.asarray(ids), jnp.asarray(mask),
                                   dtype=self.dtype, act_quant=self.act_quant)
             self._warm_prefix_suffix_shapes(sizes if full else None)
+        # warmup stage times are compile times — drop them so the /stats
+        # means reflect serving, not XLA
+        self.timer.reset()
 
     def _warm_prefix_suffix_shapes(self, batch_sizes=None) -> None:
         """Compile the prefix-variant generate for the overflow-suffix

@@ -36,6 +36,13 @@ class StageTimer:
             self.counts[name] += 1
             self.last[name] = dt
 
+    def reset(self) -> None:
+        """Drop accumulated timings (e.g. after warmup, whose compile-laden
+        stage times would otherwise dominate every mean in /stats)."""
+        self.totals.clear()
+        self.counts.clear()
+        self.last.clear()
+
     def summary(self) -> Dict[str, dict]:
         return {
             name: {

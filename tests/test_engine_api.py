@@ -269,3 +269,25 @@ def test_result_long_poll(serving_stack):
     r = client.get(f"/rag/result/{rid}?timeout=20").json()
     assert r["status"] == "complete", r
     assert time.time() - t0 < 20
+
+
+def test_warmup_full_covers_full_prompt_buckets(monkeypatch):
+    """With the prefix cache OFF, WARMUP_FULL must pre-compile the full-prompt
+    generate for every (batch, prompt-len) bucket — otherwise the first real
+    long-context batch pays a multi-minute XLA compile mid-serving (observed
+    live on the squad_real no-cache sweep)."""
+    monkeypatch.setenv("WARMUP_FULL", "1")
+    rng = np.random.default_rng(0)
+    docs = [f"Doc {i} text." for i in range(16)]
+    emb = rng.standard_normal((16, 64)).astype(np.float32)
+    settings = tiny_settings(prefix_cache=False,
+                             batch_buckets=[2], max_batch_size=2)
+    engine = RagEngine(settings, docs, emb)
+    assert engine.prefix_cache is None
+    engine.warmup([2])
+    # warmup resets stage timings (compile times must not pollute /stats)
+    assert engine.timer.summary() == {}
+    # a full-bucket prompt now runs through already-compiled programs
+    long_prompt = " ".join(f"w{i}" for i in range(120))  # → 128 bucket
+    out = engine.generate_answers([long_prompt, long_prompt])
+    assert len(out) == 2
