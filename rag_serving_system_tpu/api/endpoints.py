@@ -61,15 +61,15 @@ def create_api(request_queue, processor=None, engine=None,
         requests_total_c.inc()
         return web.json_response({"request_id": request_id, "status": "processing"})
 
-    # Redis get_result holds its worker thread up to 0.1 s per poll; a
-    # dedicated wide pool keeps thousands of concurrent pollers from starving
-    # the default executor (which aiohttp shares with everything else). The
-    # in-memory backend never touches this pool — see the async path below.
-    poll_pool = ThreadPoolExecutor(max_workers=256,
-                                   thread_name_prefix="result-poll")
     # in-memory backend: push notification → zero held threads per waiter,
     # so long-polls scale with the event loop instead of the pool size
     supports_push = hasattr(request_queue, "add_result_callback")
+    # Redis get_result holds its worker thread up to 0.1 s per poll; a
+    # dedicated wide pool keeps thousands of concurrent pollers from starving
+    # the default executor (which aiohttp shares with everything else). The
+    # push-capable in-memory backend never submits here, so don't build it.
+    poll_pool = None if supports_push else ThreadPoolExecutor(
+        max_workers=256, thread_name_prefix="result-poll")
 
     async def get_result(request: web.Request) -> web.Response:
         request_id = request.match_info["request_id"]

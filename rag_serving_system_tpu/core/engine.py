@@ -545,14 +545,24 @@ class RagEngine:
                 for elen in self.settings.encode_len_buckets[1:]:
                     q = " ".join(f"w{i}" for i in range(max(elen - 8, 4)))
                     self.embed_and_retrieve([q] * b, [1] * b)
-        if full and self.prefix_cache is None:
-            # no prefix cache → real batches land in FULL-prompt buckets
-            # (e.g. ~400-token SQuAD contexts → the 448 bucket); compile every
-            # (batch, prompt-len) generate now or the first such batch pays a
-            # multi-minute XLA compile mid-serving
+        if full:
+            # FULL-prompt generate per (batch, prompt-len) bucket. Needed
+            # whenever a batch takes the no-prefix path: always when the
+            # prefix cache is off (~400-token SQuAD contexts → the 448
+            # bucket), and with the cache ON for all-bypass batches (every
+            # row below min_tokens or past the pool) — a different jit trace
+            # from the prefix-variant warmed below. Compile now or the first
+            # such batch pays a multi-minute XLA compile mid-serving.
+            cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
+            skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
+            if skipped:
+                logger.warning(
+                    "WARMUP_FULL skipping prompt buckets %s > cap %d "
+                    "(raise WARMUP_PROMPT_CAP to cover them); the first "
+                    "batch landing there will compile mid-serving", skipped, cap)
             for b in sizes:
                 for plen in self.settings.prompt_len_buckets:
-                    if plen > 1024:
+                    if plen > cap:
                         continue
                     ids = jnp.zeros((b, plen), jnp.int32)
                     mask = jnp.zeros((b, plen), jnp.int32)

@@ -28,11 +28,14 @@ from __future__ import annotations
 
 import collections
 import json
+import logging
 import queue
 import threading
 import time
 import uuid
 from typing import Any, Optional
+
+logger = logging.getLogger(__name__)
 
 
 class RequestQueue:
@@ -107,7 +110,11 @@ class RequestQueue:
         if ev is not None:
             ev.set()
         for cb in cbs:  # outside the lock — callbacks may do arbitrary work
-            cb()
+            try:
+                cb()
+            except Exception:  # a dead waiter (e.g. closed event loop at
+                # shutdown) must not break result delivery to anyone else
+                logger.exception("result callback failed for %s", request_id)
 
     def _pop_locked(self, request_id: str) -> Optional[Any]:
         entry = self._results.pop(request_id, None)

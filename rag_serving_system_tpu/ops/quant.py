@@ -86,8 +86,12 @@ def quantize_int4(w: jax.Array, group: int = 128) -> QuantizedWeight4:
     packed two nibbles per byte (see QuantizedWeight4)."""
     i, o = w.shape
     g = min(group, i)
-    if i % g or g % 2:  # need even group size dividing the input dim
-        g = i if i % 2 == 0 else 1
+    if i % g or g % 2:  # need an even group size dividing the input dim
+        g = i
+    if g % 2:
+        raise ValueError(
+            f"int4 nibble packing needs an even input dim, got {w.shape}; "
+            "quantize_decoder_params falls back to int8 for such weights")
     wf = w.astype(jnp.float32).reshape(i // g, g, o)
     amax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)           # (G, 1, out)
     scale = jnp.maximum(amax, 1e-8) / 7.0
@@ -136,8 +140,11 @@ def quantize_decoder_params(params: dict, bits: int = 8,
     leaves."""
     assert bits in (4, 8), bits
     quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2"}
-    quant_mat = quantize_int8 if bits == 8 else functools.partial(
-        quantize_int4, group=group)
+
+    def quant_mat(w):
+        if bits == 8 or w.shape[0] % 2:  # odd input dim can't nibble-pack
+            return quantize_int8(w)
+        return quantize_int4(w, group=group)
 
     def walk(tree):
         if isinstance(tree, dict):
