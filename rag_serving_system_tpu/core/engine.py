@@ -402,7 +402,8 @@ class RagEngine:
         ids, mask, row_valid, n, metas = staged
         prefix_kv = prefix_len = None
         if metas is not None and any(m is not None for m in metas):
-            prefix_kv, prefix_len = self._resolve_prefixes(metas)
+            with self.timer.stage("prefix_resolve"):
+                prefix_kv, prefix_len = self._resolve_prefixes(metas)
         self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg, ids, mask, rng,
                         max_new_tokens=self.settings.max_new_tokens,

@@ -44,13 +44,20 @@ def param_shardings(params, mesh: Mesh):
     and their (1, out) scale along the same output axis."""
 
     def leaf_sharding(key, v):
-        if hasattr(v, "q") and v.q.ndim == 3:  # QuantizedWeight4 (G, g, out)
+        if hasattr(v, "q") and v.q.ndim == 3:  # QuantizedWeight4 (G, g/2, out)
             from rag_serving_system_tpu.ops.quant import QuantizedWeight4
 
+            n_model = mesh.shape.get("model", 1)
             if key in _COL:      # shard output dim
                 w_spec, s_spec = P(None, None, "model"), P(None, None, "model")
-            elif key in _ROW:    # shard input dim = the group axis
+            elif key in _ROW and v.q.shape[0] % n_model == 0:
+                # input dim sharded on the group axis; per-group scales follow
                 w_spec, s_spec = P("model", None, None), P("model", None, None)
+            elif key in _ROW and v.q.shape[1] % n_model == 0:
+                # few groups (small models / large group size): shard the
+                # packed within-group axis instead — GSPMD still psums the
+                # contraction; scales are per-group so they replicate
+                w_spec, s_spec = P(None, "model", None), P(None, None, None)
             else:
                 w_spec = s_spec = P(None, None, None)
             return QuantizedWeight4(q=NamedSharding(mesh, w_spec),

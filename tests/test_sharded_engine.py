@@ -120,3 +120,22 @@ def test_mesh_shape_variety_value_parity(shape):
     assert (mesh_engine.embed_and_retrieve(queries, [3, 4])
             == single.embed_and_retrieve(queries, [3, 4]))
     assert mesh_engine.process(queries, [2, 2]) == single.process(queries, [2, 2])
+
+
+@pytest.mark.parametrize("qw", ["int8", "int4"])
+def test_sharded_engine_with_quantized_weights(qw):
+    """TP sharding rules must map QuantizedWeight (2-D int8) and
+    QuantizedWeight4 (3-D grouped packed int4) leaves onto the mesh — the
+    int4 leaves shard the output axis (col) / group axis (row) and the
+    engine must still serve end-to-end."""
+    rng = np.random.default_rng(2)
+    docs = [f"Doc {i} content." for i in range(32)]
+    emb = rng.standard_normal((32, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[2], max_batch_size=2,
+                        encode_len_buckets=[16], prompt_len_buckets=[64],
+                        max_new_tokens=2, max_k=4,
+                        mesh_shape="4,2", quant_weights=qw)
+    engine = RagEngine(settings, docs, emb, mesh=make_mesh("4,2"))
+    results = engine.process(["what is doc 3?", "doc 7?"], [2, 2])
+    assert len(results) == 2 and all("result" in r for r in results)
