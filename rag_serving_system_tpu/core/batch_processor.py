@@ -47,12 +47,25 @@ class BatchProcessor(threading.Thread):
         self.stage_on_prefetch = os.environ.get("STAGE_PROMPTS", "0") == "1"
         self.running = False
         self._busy = False            # stage-2 executing
-        self._stage1_busy = False     # prefetch thread holds a dequeued batch
-        import os
+        self._stage1_count = 0        # prefetch threads holding dequeued batches
+        self._stage1_lock = threading.Lock()
+        # stage-1 (embed+retrieve+prompt build) workers: with long prompts
+        # stage 1 is the pipeline limiter (each batch pays a host-synced
+        # retrieval transfer — ~26 ms through the axon tunnel — plus
+        # tokenize), so PREFETCH_WORKERS=2 overlaps two batches' stage-1 and
+        # moves the bottleneck back to device generate (A/B on squad_real in
+        # PERFORMANCE.md). Default stays 1: concurrent get_batch calls split
+        # the queue into partial batches, which is only safe when every
+        # batch bucket is warmed (WARMUP_FULL servers are; ad-hoc engines
+        # may not be).
+        self.prefetch_workers = max(1, int(os.environ.get(
+            "PREFETCH_WORKERS", "1"))) if prefetch else 0
         # depth of the prepared-batch pipeline between stage 1 and stage 2;
-        # depth 2 measured neutral-to-worse on this host (A/B in commit log)
+        # at least one ready slot per stage-1 worker so they don't serialize
+        # on the handoff
         self._ready: "queue.Queue[tuple]" = queue.Queue(
-            maxsize=int(os.environ.get("READY_DEPTH", "1")))
+            maxsize=max(int(os.environ.get("READY_DEPTH", "1")),
+                        self.prefetch_workers))
         self._pending = None          # deferred (request_ids, token handle)
         # rolling stats for observability
         self.batches_processed = 0
@@ -79,7 +92,8 @@ class BatchProcessor(threading.Thread):
                 if not batch:
                     time.sleep(self.polling_interval)
                     continue
-                self._stage1_busy = True
+                with self._stage1_lock:
+                    self._stage1_count += 1
                 try:
                     cap = getattr(self.request_queue, "max_batch_size", len(batch))
                     if (self.length_aware and len(batch) == cap
@@ -112,9 +126,9 @@ class BatchProcessor(threading.Thread):
                         self.request_queue.store_result(
                             req["id"], {"error": str(e), "status": "failed"})
                 finally:
-                    self._stage1_busy = False
+                    with self._stage1_lock:
+                        self._stage1_count -= 1
             except Exception:
-                self._stage1_busy = False
                 logger.exception("prefetch loop error")
                 time.sleep(self.polling_interval)
 
@@ -123,8 +137,9 @@ class BatchProcessor(threading.Thread):
         logger.info("BatchProcessor started (prefetch=%s).", self.prefetch)
         ready = self._ready
         if self.prefetch:
-            threading.Thread(target=self._prefetch_loop, args=(ready,),
-                             daemon=True).start()
+            for _ in range(self.prefetch_workers):
+                threading.Thread(target=self._prefetch_loop, args=(ready,),
+                                 daemon=True).start()
         while self.running:
             try:
                 t0 = time.time()
@@ -233,7 +248,7 @@ class BatchProcessor(threading.Thread):
         BLPOP path has (SURVEY §5)."""
         deadline = time.time() + drain_timeout
         while time.time() < deadline and (
-                self._busy or self._stage1_busy
+                self._busy or self._stage1_count > 0
                 or self._ready.unfinished_tasks > 0):
             time.sleep(0.02)
         self.running = False

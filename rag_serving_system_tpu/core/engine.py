@@ -45,6 +45,7 @@ from rag_serving_system_tpu.models import (
     encoder_config_for,
 )
 from rag_serving_system_tpu.core.prefix_cache import (
+    PrefixEntry,
     PrefixKVCache,
     PromptSpec,
     split_prefix_tokens,
@@ -215,9 +216,8 @@ class RagEngine:
         self.timer = StageTimer()
 
         # exact prefix-KV cache (single-device path; under a mesh the KV is
-        # model-sharded and entry stacking would need per-axis layouts — off)
+        # model-sharded and the slot pool would need per-axis layouts — off)
         self.prefix_cache = None
-        self._zero_prefix = None
         self.prefix_int8 = False
         if settings.prefix_cache and n_dev == 1:
             c = self.dec_cfg
@@ -232,10 +232,15 @@ class RagEngine:
                 entry_bytes = slots * (c.head_dim + 4)
             else:
                 entry_bytes = slots * c.head_dim * jnp.dtype(self.dtype).itemsize
+            entry_shape = (c.num_layers, 2, pool_len, c.num_kv_heads,
+                           c.head_dim)
             self.prefix_cache = PrefixKVCache(
                 pool_len=pool_len,
                 entry_bytes=entry_bytes,
-                budget_mb=settings.prefix_cache_mb)
+                budget_mb=settings.prefix_cache_mb,
+                entry_shape=entry_shape,
+                dtype=self.dtype,
+                int8=self.prefix_int8)
             # compute_prefix_kv compiles per batch shape — keep the shape set
             # tiny ({1, 8, cap}) so warmup can pre-compile ALL of them and no
             # XLA compile ever lands mid-serving on a cache miss
@@ -413,25 +418,15 @@ class RagEngine:
                         prefix_kv=prefix_kv, prefix_len=prefix_len)
         return toks, n
 
-    def _ensure_zero_prefix(self) -> None:
-        if self._zero_prefix is not None:
-            return
-        c = self.dec_cfg
-        pool_len = self.prefix_cache.pool_len
-        shape = (c.num_layers, 2, pool_len, c.num_kv_heads, c.head_dim)
-        if self.prefix_int8:
-            self._zero_prefix = (
-                jnp.zeros(shape, dtype=jnp.int8),
-                jnp.ones(shape[:-1] + (1,), dtype=jnp.float32))
-        else:
-            self._zero_prefix = jnp.zeros(shape, dtype=self.dtype)
-
     def _resolve_prefixes(self, metas):
-        """Map per-row (key, prefix tokens) to device KV entries: cache hits
-        are reused; the batch's distinct misses are computed in ONE batched
+        """Map per-row (key, prefix tokens) to pool slots: cache hits are
+        reused; the batch's distinct misses are computed in ONE batched
         `compute_prefix_kv` dispatch (dedup means a context shared by several
-        rows — or repeated across batches — prefills once). Returns the
-        stacked (B, L, 2, PL, Hk, D) prefix KV and (B,) valid lengths."""
+        rows — or repeated across batches — prefills once) and written to
+        their slots with one donated scatter. The per-row prefix KV is then a
+        single device GATHER `pool[slots]` — rows without a prefix read the
+        permanent zeros slot. Returns the (B, L, 2, PL, Hk, D) prefix KV
+        (or an (int8 values, scales) pair) and (B,) valid lengths."""
         cache = self.prefix_cache
         pool_len = cache.pool_len
         entries: list = []
@@ -459,28 +454,15 @@ class RagEngine:
                                    dtype=self.dtype, act_quant=self.act_quant)
             if self.prefix_int8:
                 from rag_serving_system_tpu.models.qwen2 import quantize_prefix_kv
-                qv, qs = quantize_prefix_kv(kv)
-                fresh = {k: cache.put(k, need[k], (qv[i], qs[i]))
-                         for i, k in enumerate(keys)}
-            else:
-                fresh = {k: cache.put(k, need[k], kv[i])
-                         for i, k in enumerate(keys)}
-            entries = [fresh.get(e, e) if not hasattr(e, "kv") else e
+                kv = quantize_prefix_kv(kv)
+            fresh = cache.put_batch(keys, [need[k] for k in keys], kv)
+            entries = [fresh.get(e, e) if not isinstance(e, PrefixEntry) else e
                        for e in entries]
-        self._ensure_zero_prefix()
         prefix_len = jnp.asarray(
             [len(e.tokens) if e is not None else 0 for e in entries],
             dtype=jnp.int32)
-        if self.prefix_int8:
-            prefix_kv = (
-                jnp.stack([e.kv[0] if e is not None else self._zero_prefix[0]
-                           for e in entries]),
-                jnp.stack([e.kv[1] if e is not None else self._zero_prefix[1]
-                           for e in entries]))
-        else:
-            prefix_kv = jnp.stack(
-                [e.kv if e is not None else self._zero_prefix for e in entries])
-        return prefix_kv, prefix_len
+        slots = [e.slot if e is not None else cache.zero_slot for e in entries]
+        return cache.gather(slots), prefix_len
 
     def finalize_tokens(self, handle) -> List[str]:
         """Block on the device tokens and detokenize (see generate_tokens)."""
@@ -600,16 +582,13 @@ class RagEngine:
         suffix, landing in prompt-size buckets — without this, the first such
         batch pays an XLA compile mid-serving. Default warms the full batch
         bucket only; pass batch_sizes (WARMUP_FULL) for the whole matrix."""
-        self._ensure_zero_prefix()
-        zp = self._zero_prefix
         suffixes = [64] + [s for s in self.settings.prompt_len_buckets
                            if s <= (256 if batch_sizes else 192)]
         for b in (batch_sizes or [self.batch_buckets[-1]]):
-            if self.prefix_int8:
-                prefix_kv = (jnp.broadcast_to(zp[0], (b,) + zp[0].shape),
-                             jnp.broadcast_to(zp[1], (b,) + zp[1].shape))
-            else:
-                prefix_kv = jnp.broadcast_to(zp, (b,) + zp.shape)
+            # gather the permanent zeros slot — same shapes/dtypes/layouts
+            # the serving path produces, so the compile cache is hit exactly
+            prefix_kv = self.prefix_cache.gather(
+                [self.prefix_cache.zero_slot] * b)
             for s_len in suffixes:
                 ids = jnp.zeros((b, s_len), jnp.int32)
                 mask = jnp.zeros((b, s_len), jnp.int32).at[:, -1].set(1)

@@ -12,22 +12,24 @@ vLLM-style automatic prefix caching:
 - entries are whole context prefixes (keyed by retrieved-doc identity,
   VERIFIED against exact token ids — a hit is bit-exact by construction, not
   probabilistic);
-- each entry's payload is one fixed-shape device array
-  (L, 2, POOL_LEN, Hk, D), produced by `models.qwen2.compute_prefix_kv` with
-  RoPE positions 0..n-1, so it is position-exact for any prompt that starts
-  with those tokens (XLA needs static shapes — a paged/token-granular pool
-  would fight the compiler for nothing at this prompt scale);
-- a batch's entries are stacked into (B, L, 2, POOL_LEN, Hk, D) and handed to
-  `generate(prefix_kv=...)`, which prefills only the suffix (question +
-  answer cue) and attends over [prefix | suffix | generated];
+- payloads live in ONE preallocated device pool tensor
+  (CAP+1, L, 2, POOL_LEN, Hk, D) — slot CAP is a permanent zeros row for
+  batch rows without a prefix. A batch's per-row slots become a single
+  device GATHER `pool[slots]`, and inserts are a single donated scatter —
+  XLA aliases the donated pool buffer, so writes are in-place slot updates,
+  not pool copies. (The previous design stacked 32 independent entry arrays
+  per batch: ~18 ms of dispatch/copy on the critical path at squad scale —
+  the pool gather is <1 ms.)
+- `generate(prefix_kv=...)` prefills only the suffix (question + answer cue)
+  and attends over [prefix | suffix | generated];
 - misses are DEDUPLICATED per batch and computed in one batched
   `compute_prefix_kv` dispatch — so even at 0% hit rate the prefix tokens
   are prefilled once per distinct context instead of once per row.
 
-Memory is bounded by an LRU over a byte budget; eviction is safe against
-in-flight batches because entries are independent device arrays — an evicted
-entry's buffer lives until the last dispatched computation referencing it
-completes (no shared pool tensor, no donation hazards).
+Memory is RESERVED UP FRONT for the whole budget (capacity slots). Eviction
+is LRU slot reuse; it is safe against in-flight batches because a single
+device executes programs in dispatch order — a gather dispatched before the
+overwriting scatter reads the old slot contents.
 """
 
 from __future__ import annotations
@@ -38,35 +40,80 @@ from dataclasses import dataclass
 from typing import Hashable, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 
 @dataclass
 class PrefixEntry:
     tokens: Tuple[int, ...]   # exact token ids this entry caches
-    kv: jax.Array             # (L, 2, POOL_LEN, Hk, D) device array
+    slot: int                 # row index into the device pool(s)
+
+
+# Pools are stored FLATTENED to TPU-tile-friendly shapes — values as
+# (N, L*2, PL, Hk*D) and scales as (N, L*2, PL*Hk) — because the natural
+# (N, L, 2, PL, Hk, D) layout ends in (Hk=2, D): the tiny second-to-minor
+# dim forces XLA to pad every tile ~2x, and the gather then materializes a
+# padded copy of the WHOLE pool (observed live: 19.9 GB HBM for a 6.4 GB
+# pool -> compile OOM). The reshape between entry shape and flat shape is
+# dim-splitting only (no transpose), folded into the jitted gather/scatter
+# so each stays a single dispatch.
+
+_gather = jax.jit(lambda pool, slots, shape:
+                  jnp.take(pool, slots, axis=0).reshape(
+                      (slots.shape[0],) + shape),
+                  static_argnums=2)
+
+# donate the pool so XLA aliases the buffer and the scatter is an in-place
+# slot update, never a pool copy
+_scatter = jax.jit(lambda pool, slots, rows:
+                   pool.at[slots].set(
+                       rows.reshape((rows.shape[0],) + pool.shape[1:])
+                       .astype(pool.dtype)),
+                   donate_argnums=0)
 
 
 class PrefixKVCache:
-    """Host-side LRU of context-prefix KV entries (device-resident payloads).
+    """Host-side LRU index over a device-resident slot pool.
 
     Thread-safe: lookups may run on the prefetch thread while inserts run on
     the dispatch thread. A hit requires the stored token ids to equal the
     request's prefix tokens — the key (retrieved-doc tuple) is only a fast
     index; exactness never depends on it (tokenizers can merge across the
     context/question boundary, which the caller handles by trimming, and the
-    verify here backstops)."""
+    verify here backstops).
+
+    `entry_shape` is the per-entry payload shape (L, 2, POOL_LEN, Hk, D).
+    With `int8=True` two pools are kept: int8 values + f32 per-(token, head)
+    scales (see models.qwen2.quantize_prefix_kv)."""
 
     def __init__(self, pool_len: int, entry_bytes: int, budget_mb: int = 2048,
-                 min_tokens: int = 16):
+                 min_tokens: int = 16, entry_shape: tuple | None = None,
+                 dtype=None, int8: bool = False):
         self.pool_len = int(pool_len)
         self.entry_bytes = int(entry_bytes)
         self.capacity = max(1, (budget_mb * (1 << 20)) // max(1, entry_bytes))
         self.min_tokens = min_tokens
+        self.int8 = int8
         self._entries: "OrderedDict[Hashable, PrefixEntry]" = OrderedDict()
+        self._free: list[int] = list(range(self.capacity))
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
         self.bypassed = 0  # rows that skipped the prefix path entirely
+        self.zero_slot = self.capacity  # permanent all-zeros row
+        self._pool = self._pool_scale = None
+        if entry_shape is not None:
+            ll, two, pl, hk, d = entry_shape
+            self.entry_shape = tuple(entry_shape)
+            self.scale_shape = (ll, two, pl, hk, 1)
+            flat = (ll * two, pl, hk * d)
+            flat_scale = (ll * two, pl * hk)
+            n = self.capacity + 1
+            if int8:
+                self._pool = jnp.zeros((n,) + flat, jnp.int8)
+                self._pool_scale = jnp.ones((n,) + flat_scale, jnp.float32)
+            else:
+                self._pool = jnp.zeros((n,) + flat, dtype)
 
     def get(self, key: Hashable, tokens: Tuple[int, ...]) -> Optional[PrefixEntry]:
         with self._lock:
@@ -78,15 +125,48 @@ class PrefixKVCache:
             self.misses += 1
             return None
 
-    def put(self, key: Hashable, tokens: Tuple[int, ...], kv: jax.Array) -> PrefixEntry:
-        e = PrefixEntry(tokens=tuple(tokens), kv=kv)
+    def _alloc_slot_locked(self) -> int:
+        if self._free:
+            return self._free.pop()
+        _, old = self._entries.popitem(last=False)  # LRU reuse; in-flight
+        # gathers dispatched earlier still read the old contents (in-order
+        # device execution)
+        return old.slot
+
+    def put_batch(self, keys: list, tokens_list: list, kv_rows) -> dict:
+        """Insert a batch of freshly computed entries with ONE donated
+        scatter. `kv_rows` is (M, *entry_shape) (or an (values, scales) pair
+        in int8 mode) with the first len(keys) rows valid. Returns
+        {key: PrefixEntry}."""
         with self._lock:
-            self._entries[key] = e
-            self._entries.move_to_end(key)
-            while len(self._entries) > self.capacity:
-                self._entries.popitem(last=False)  # LRU; buffer freed when
-                # the last in-flight computation referencing it completes
-        return e
+            entries = {}
+            slots = []
+            for key, toks in zip(keys, tokens_list):
+                slot = self._alloc_slot_locked()
+                e = PrefixEntry(tokens=tuple(toks), slot=slot)
+                self._entries[key] = e
+                self._entries.move_to_end(key)
+                entries[key] = e
+                slots.append(slot)
+        idx = jnp.asarray(slots, jnp.int32)
+        m = len(slots)
+        if self.int8:
+            vals, scales = kv_rows
+            self._pool = _scatter(self._pool, idx, vals[:m])
+            self._pool_scale = _scatter(self._pool_scale, idx, scales[:m])
+        else:
+            self._pool = _scatter(self._pool, idx, kv_rows[:m])
+        return entries
+
+    def gather(self, slots: list) -> jax.Array | tuple:
+        """(B,) slot list → (B, *entry_shape) device gather (values or a
+        (values, scales) pair in int8 mode). Use `zero_slot` for no-prefix
+        rows."""
+        idx = jnp.asarray(slots, jnp.int32)
+        if self.int8:
+            return (_gather(self._pool, idx, self.entry_shape),
+                    _gather(self._pool_scale, idx, self.scale_shape))
+        return _gather(self._pool, idx, self.entry_shape)
 
     def __len__(self) -> int:
         return len(self._entries)
@@ -98,6 +178,7 @@ class PrefixKVCache:
                 "entries": len(self._entries),
                 "capacity": self.capacity,
                 "bytes": len(self._entries) * self.entry_bytes,
+                "pool_reserved_bytes": (self.capacity + 1) * self.entry_bytes,
                 "hits": self.hits,
                 "misses": self.misses,
                 "bypassed": self.bypassed,

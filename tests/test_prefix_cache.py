@@ -189,13 +189,19 @@ def test_split_prefix_tokens():
 
 
 def test_lru_eviction_and_verify():
-    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=2)
+    shape = (2, 2, 8, 2, 4)
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=2,
+                          entry_shape=shape, dtype=jnp.float32)
     assert cache.capacity == 2
-    kv = jnp.zeros((2, 2, 8, 2, 4))
-    cache.put("a", (1, 2), kv)
-    cache.put("b", (3, 4), kv)
+    def put(key, toks, fill):
+        rows = jnp.full((1,) + shape, fill, jnp.float32)
+        return cache.put_batch([key], [toks], rows)[key]
+
+    ea = put("a", (1, 2), 1.0)
+    put("b", (3, 4), 2.0)
     assert cache.get("a", (1, 2)) is not None     # refreshes 'a'
-    cache.put("c", (5, 6), kv)                    # evicts LRU 'b'
+    ec = put("c", (5, 6), 3.0)                    # evicts LRU 'b', reuses slot
+    assert ec.slot != ea.slot
     assert len(cache) == 2
     assert cache.get("b", (3, 4)) is None
     assert cache.get("a", (1, 2)) is not None
@@ -203,6 +209,9 @@ def test_lru_eviction_and_verify():
     assert cache.get("c", (5, 999)) is None
     s = cache.stats()
     assert s["entries"] == 2 and s["hits"] == 2 and s["misses"] == 2
+    # gather returns each entry's own payload + zeros for the no-prefix slot
+    g = np.asarray(cache.gather([ea.slot, ec.slot, cache.zero_slot]))
+    assert (g[0] == 1.0).all() and (g[1] == 3.0).all() and (g[2] == 0.0).all()
 
 
 def test_prompt_spec_is_a_string():
