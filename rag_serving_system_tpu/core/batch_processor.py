@@ -61,11 +61,11 @@ class BatchProcessor(threading.Thread):
         self.prefetch_workers = max(1, int(os.environ.get(
             "PREFETCH_WORKERS", "1"))) if prefetch else 0
         # depth of the prepared-batch pipeline between stage 1 and stage 2;
-        # at least one ready slot per stage-1 worker so they don't serialize
-        # on the handoff
+        # 0 keeps queue.Queue's unbounded semantics; otherwise at least one
+        # ready slot per stage-1 worker so they don't serialize on handoff
+        depth = int(os.environ.get("READY_DEPTH", "1"))
         self._ready: "queue.Queue[tuple]" = queue.Queue(
-            maxsize=max(int(os.environ.get("READY_DEPTH", "1")),
-                        self.prefetch_workers))
+            maxsize=0 if depth == 0 else max(depth, self.prefetch_workers))
         self._pending = None          # deferred (request_ids, token handle)
         # rolling stats for observability
         self.batches_processed = 0

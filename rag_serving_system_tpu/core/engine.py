@@ -240,7 +240,10 @@ class RagEngine:
                 budget_mb=settings.prefix_cache_mb,
                 entry_shape=entry_shape,
                 dtype=self.dtype,
-                int8=self.prefix_int8)
+                int8=self.prefix_int8,
+                # one batch may protect its hits + its own inserts from slot
+                # reuse — guarantee a victim always exists past that
+                min_slots=2 * self.batch_buckets[-1] + 1)
             # compute_prefix_kv compiles per batch shape — keep the shape set
             # tiny ({1, 8, cap}) so warmup can pre-compile ALL of them and no
             # XLA compile ever lands mid-serving on a cache miss
@@ -374,7 +377,7 @@ class RagEngine:
                 else:
                     metas.append(None)
                     if i < n:
-                        self.prefix_cache.bypassed += 1
+                        self.prefix_cache.note_bypass()
                 suffix_rows.append(full[m:])
             rows = suffix_rows
             plen = pick_bucket(
@@ -436,10 +439,15 @@ class RagEngine:
                 entries.append(None)
                 continue
             key, toks = meta
-            e = cache.get(key, toks)
+            # the entry key includes the token-split length: rows sharing a
+            # doc set can still split at different BPE boundaries (their
+            # questions merge differently), and binding them to one entry
+            # would drop/duplicate the boundary tokens for the other row
+            ekey = (key, len(toks))
+            e = cache.get(ekey, toks)
             if e is None:
-                need.setdefault(key, toks)
-                entries.append(key)     # placeholder, filled below
+                need.setdefault(ekey, toks)
+                entries.append(ekey)    # placeholder, filled below
             else:
                 entries.append(e)
         if need:
@@ -455,7 +463,9 @@ class RagEngine:
             if self.prefix_int8:
                 from rag_serving_system_tpu.models.qwen2 import quantize_prefix_kv
                 kv = quantize_prefix_kv(kv)
-            fresh = cache.put_batch(keys, [need[k] for k in keys], kv)
+            hit_slots = {e.slot for e in entries if isinstance(e, PrefixEntry)}
+            fresh = cache.put_batch(keys, [need[k] for k in keys], kv,
+                                    protected=hit_slots)
             entries = [fresh.get(e, e) if not isinstance(e, PrefixEntry) else e
                        for e in entries]
         prefix_len = jnp.asarray(
@@ -563,14 +573,25 @@ class RagEngine:
             self.process([long_q] * self.batch_buckets[-1],
                          [1] * self.batch_buckets[-1])
             # pre-compile every miss-compute shape (see prefix_compute_buckets)
+            # AND the matching pool-scatter shape — put_batch scatters the
+            # full bucketed row count (pads go to the scratch slot), so this
+            # covers the exact program the first real miss batch runs
             pool_len = self.prefix_cache.pool_len
             for mb in self.prefix_compute_buckets:
                 ids = np.zeros((mb, pool_len), np.int32)
                 mask = np.zeros((mb, pool_len), np.int32)
                 mask[:, 0] = 1
-                compute_prefix_kv(self.dec_params, self.dec_cfg,
-                                  jnp.asarray(ids), jnp.asarray(mask),
-                                  dtype=self.dtype, act_quant=self.act_quant)
+                kv = compute_prefix_kv(self.dec_params, self.dec_cfg,
+                                       jnp.asarray(ids), jnp.asarray(mask),
+                                       dtype=self.dtype,
+                                       act_quant=self.act_quant)
+                if self.prefix_int8:
+                    from rag_serving_system_tpu.models.qwen2 import (
+                        quantize_prefix_kv,
+                    )
+                    kv = quantize_prefix_kv(kv)
+                self.prefix_cache.put_batch(
+                    [("_warmup_", mb)], [(0,)], kv)
             self._warm_prefix_suffix_shapes(sizes if full else None)
         # warmup stage times are compile times — drop them so the /stats
         # means reflect serving, not XLA

@@ -88,10 +88,23 @@ class PrefixKVCache:
 
     def __init__(self, pool_len: int, entry_bytes: int, budget_mb: int = 2048,
                  min_tokens: int = 16, entry_shape: tuple | None = None,
-                 dtype=None, int8: bool = False):
+                 dtype=None, int8: bool = False, min_slots: int = 0):
+        import os
+
         self.pool_len = int(pool_len)
         self.entry_bytes = int(entry_bytes)
         self.capacity = max(1, (budget_mb * (1 << 20)) // max(1, entry_bytes))
+        # the pool is RESERVED up front (capacity+2 rows), so cap the entry
+        # count too — with small per-entry payloads (tiny models) the byte
+        # budget alone would reserve gigabytes of slots nothing will fill
+        self.capacity = min(self.capacity,
+                            int(os.environ.get("PREFIX_MAX_ENTRIES", "4096")))
+        # slot-reuse safety needs headroom: one batch can protect up to
+        # 2 x max_batch slots (its hits + its own fresh inserts), and an
+        # allocator that can't find an unprotected victim would have to fail
+        # the batch — so the engine passes min_slots = 2*max_batch + 1 and
+        # we reserve past the byte budget if needed (logged via stats)
+        self.capacity = max(self.capacity, min_slots)
         self.min_tokens = min_tokens
         self.int8 = int8
         self._entries: "OrderedDict[Hashable, PrefixEntry]" = OrderedDict()
@@ -100,7 +113,8 @@ class PrefixKVCache:
         self.hits = 0
         self.misses = 0
         self.bypassed = 0  # rows that skipped the prefix path entirely
-        self.zero_slot = self.capacity  # permanent all-zeros row
+        self.zero_slot = self.capacity       # permanent all-zeros row
+        self.scratch_slot = self.capacity + 1  # scatter target for pad rows
         self._pool = self._pool_scale = None
         if entry_shape is not None:
             ll, two, pl, hk, d = entry_shape
@@ -108,7 +122,7 @@ class PrefixKVCache:
             self.scale_shape = (ll, two, pl, hk, 1)
             flat = (ll * two, pl, hk * d)
             flat_scale = (ll * two, pl * hk)
-            n = self.capacity + 1
+            n = self.capacity + 2
             if int8:
                 self._pool = jnp.zeros((n,) + flat, jnp.int8)
                 self._pool_scale = jnp.ones((n,) + flat_scale, jnp.float32)
@@ -125,37 +139,59 @@ class PrefixKVCache:
             self.misses += 1
             return None
 
-    def _alloc_slot_locked(self) -> int:
+    def _alloc_slot_locked(self, protected: set) -> int:
         if self._free:
             return self._free.pop()
-        _, old = self._entries.popitem(last=False)  # LRU reuse; in-flight
-        # gathers dispatched earlier still read the old contents (in-order
-        # device execution)
-        return old.slot
+        # LRU reuse, skipping slots the CURRENT batch references (its hits
+        # and its own fresh inserts): the batch's gather is dispatched AFTER
+        # this scatter, so clobbering a protected slot would hand a row a
+        # different context's KV. Cross-batch reuse is safe (in-order device
+        # execution: earlier batches' gathers already ran). Skipped victims
+        # are re-marked MRU. min_slots guarantees a victim exists.
+        for key in list(self._entries):
+            if self._entries[key].slot in protected:
+                self._entries.move_to_end(key)
+                continue
+            return self._entries.pop(key).slot
+        raise RuntimeError(
+            "prefix cache has no evictable slot (capacity too small for "
+            "one batch — should be prevented by min_slots)")
 
-    def put_batch(self, keys: list, tokens_list: list, kv_rows) -> dict:
+    def put_batch(self, keys: list, tokens_list: list, kv_rows,
+                  protected: set | None = None) -> dict:
         """Insert a batch of freshly computed entries with ONE donated
-        scatter. `kv_rows` is (M, *entry_shape) (or an (values, scales) pair
-        in int8 mode) with the first len(keys) rows valid. Returns
+        scatter. `kv_rows` is (M, *entry_shape) (or a (values, scales) pair
+        in int8 mode) with the first len(keys) rows valid — the pad rows are
+        scattered too (to the scratch slot) so the scatter's shape is the
+        bucketed M and warmup can pre-compile it. `protected` holds slots
+        the current batch's gather will read (its cache hits). Returns
         {key: PrefixEntry}."""
+        protected = set(protected or ())
         with self._lock:
             entries = {}
             slots = []
             for key, toks in zip(keys, tokens_list):
-                slot = self._alloc_slot_locked()
+                old = self._entries.get(key)
+                if old is not None and old.slot not in protected:
+                    # re-insert over a stale entry (token-split variant):
+                    # recycle its slot instead of leaking it
+                    self._free.append(old.slot)
+                slot = self._alloc_slot_locked(protected)
+                protected.add(slot)
                 e = PrefixEntry(tokens=tuple(toks), slot=slot)
                 self._entries[key] = e
                 self._entries.move_to_end(key)
                 entries[key] = e
                 slots.append(slot)
+        m = (kv_rows[0] if self.int8 else kv_rows).shape[0]
+        slots = slots + [self.scratch_slot] * (m - len(slots))
         idx = jnp.asarray(slots, jnp.int32)
-        m = len(slots)
         if self.int8:
             vals, scales = kv_rows
-            self._pool = _scatter(self._pool, idx, vals[:m])
-            self._pool_scale = _scatter(self._pool_scale, idx, scales[:m])
+            self._pool = _scatter(self._pool, idx, vals)
+            self._pool_scale = _scatter(self._pool_scale, idx, scales)
         else:
-            self._pool = _scatter(self._pool, idx, kv_rows[:m])
+            self._pool = _scatter(self._pool, idx, kv_rows)
         return entries
 
     def gather(self, slots: list) -> jax.Array | tuple:
@@ -167,6 +203,12 @@ class PrefixKVCache:
             return (_gather(self._pool, idx, self.entry_shape),
                     _gather(self._pool_scale, idx, self.scale_shape))
         return _gather(self._pool, idx, self.entry_shape)
+
+    def note_bypass(self) -> None:
+        """Count a row that skipped the prefix path (lock-guarded — callers
+        include concurrent stage-1 workers)."""
+        with self._lock:
+            self.bypassed += 1
 
     def __len__(self) -> int:
         return len(self._entries)

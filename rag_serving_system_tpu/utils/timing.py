@@ -17,13 +17,17 @@ logger = logging.getLogger(__name__)
 
 
 class StageTimer:
-    """Accumulates wall-time per named stage; thread-compatible enough for
-    the single-processor serving loop."""
+    """Accumulates wall-time per named stage. Lock-guarded: stage-1 pipeline
+    workers (PREFETCH_WORKERS > 1) time the same stage concurrently, and an
+    unguarded `+=` on the shared dicts would drop updates."""
 
     def __init__(self):
+        import threading
+
         self.totals: Dict[str, float] = defaultdict(float)
         self.counts: Dict[str, int] = defaultdict(int)
         self.last: Dict[str, float] = {}
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -32,16 +36,18 @@ class StageTimer:
             yield
         finally:
             dt = time.perf_counter() - t0
-            self.totals[name] += dt
-            self.counts[name] += 1
-            self.last[name] = dt
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
+                self.last[name] = dt
 
     def reset(self) -> None:
         """Drop accumulated timings (e.g. after warmup, whose compile-laden
         stage times would otherwise dominate every mean in /stats)."""
-        self.totals.clear()
-        self.counts.clear()
-        self.last.clear()
+        with self._lock:
+            self.totals.clear()
+            self.counts.clear()
+            self.last.clear()
 
     def summary(self) -> Dict[str, dict]:
         return {

@@ -276,3 +276,58 @@ def test_engine_prefix_cache_dedups_within_batch():
     on.process(["what is the answer about topic three?"] * 2, [2, 2])
     st = on.prefix_cache.stats()
     assert st["entries"] == 1
+
+
+def test_put_batch_never_clobbers_protected_slots():
+    """Slot reuse must skip slots the current batch's gather will read (its
+    hits) and the batch's own fresh inserts — otherwise a row silently
+    generates from another request's context KV."""
+    shape = (2, 2, 8, 2, 4)
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=3,
+                          entry_shape=shape, dtype=jnp.float32)
+    assert cache.capacity == 3
+    rows = lambda n, fill: jnp.full((n,) + shape, fill, jnp.float32)  # noqa: E731
+    ea = cache.put_batch(["a"], [(1,)], rows(1, 1.0))["a"]
+    cache.put_batch(["b"], [(2,)], rows(1, 2.0))
+    cache.put_batch(["c"], [(3,)], rows(1, 3.0))
+    # cache full; batch hits 'a' then inserts two misses protecting a's slot
+    fresh = cache.put_batch(["d", "e"], [(4,), (5,)], rows(2, 9.0),
+                            protected={ea.slot})
+    assert ea.slot not in {e.slot for e in fresh.values()}
+    g = np.asarray(cache.gather([ea.slot]))
+    assert (g == 1.0).all()  # a's payload untouched
+
+
+def test_put_batch_reinsert_recycles_slot():
+    """Re-inserting an existing key (token-split variant) must recycle the
+    old entry's slot, not leak it."""
+    shape = (2, 2, 8, 2, 4)
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=2,
+                          entry_shape=shape, dtype=jnp.float32)
+    rows = lambda n, fill: jnp.full((n,) + shape, fill, jnp.float32)  # noqa: E731
+    for i in range(6):  # alternate two token variants of the same key
+        cache.put_batch(["k"], [(i,)], rows(1, float(i)))
+        assert len(cache) == 1
+        # free + entry slots must always account for the full capacity
+        assert len(cache._free) + 1 == cache.capacity
+
+
+def test_put_batch_scatters_padded_rows_to_scratch():
+    """put_batch scatters the full bucketed row count (pads -> scratch slot)
+    so the scatter program shape is fixed per compute bucket."""
+    shape = (2, 2, 8, 2, 4)
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=8,
+                          entry_shape=shape, dtype=jnp.float32)
+    rows = jnp.concatenate([jnp.full((1,) + shape, 5.0, jnp.float32),
+                            jnp.full((7,) + shape, -1.0, jnp.float32)])
+    e = cache.put_batch(["x"], [(1,)], rows)["x"]  # 1 real + 7 pad rows
+    g = np.asarray(cache.gather([e.slot, cache.zero_slot]))
+    assert (g[0] == 5.0).all()
+    assert (g[1] == 0.0).all()  # zero slot untouched by pad scatter
+
+
+def test_min_slots_overrides_budget():
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=2,
+                          entry_shape=(2, 2, 8, 2, 4), dtype=jnp.float32,
+                          min_slots=65)
+    assert cache.capacity == 65
