@@ -331,3 +331,15 @@ def test_min_slots_overrides_budget():
                           entry_shape=(2, 2, 8, 2, 4), dtype=jnp.float32,
                           min_slots=65)
     assert cache.capacity == 65
+
+
+def test_engine_clamps_cache_capacity_to_batch_headroom():
+    """Even with a byte budget far below one batch's worth of entries, the
+    engine must reserve enough slots that a full batch of distinct misses +
+    hits can never deadlock the allocator (min_slots = 2*max_batch + 1)."""
+    mk = _engines()
+    eng = mk(prefix_cache=True, prefix_cache_mb=1)  # ~nothing
+    assert eng.prefix_cache.capacity >= 2 * eng.batch_buckets[-1] + 1
+    queries = [f"what about topic {i}?" for i in range(4)]
+    results = eng.process(queries, [2] * 4)
+    assert len(results) == 4 and all("result" in r for r in results)
