@@ -478,10 +478,11 @@ class RagEngine:
         """Block on the device tokens and detokenize (see generate_tokens)."""
         toks_dev, n = handle
         toks = np.asarray(toks_dev)
+        strip = {self.dec_cfg.pad_token_id, self.dec_cfg.eos_token_id,
+                 *getattr(self.dec_cfg, "eos_token_ids", ())}
         out = []
         for i in range(n):
-            row = [t for t in toks[i]
-                   if t not in (self.dec_cfg.pad_token_id, self.dec_cfg.eos_token_id)]
+            row = [t for t in toks[i] if t not in strip]
             out.append(self.dec_tok.decode(row))
         return out
 

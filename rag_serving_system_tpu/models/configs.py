@@ -50,8 +50,12 @@ class DecoderConfig:
     rope_theta: float = 1_000_000.0
     tie_word_embeddings: bool = True
     max_position_embeddings: int = 32768
-    eos_token_id: int = 151645     # <|im_end|>
+    eos_token_id: int = 151645     # <|im_end|> (primary)
     pad_token_id: int = 151643     # <|endoftext|>
+    # ALL ids that terminate generation — Qwen2.5-Instruct's HF
+    # generation_config lists [151645, 151643]; a row sampling ANY of them
+    # must stop (HF pipeline parity) or post-EOS tokens leak into answers
+    eos_token_ids: tuple = (151645, 151643)
     qkv_bias: bool = True          # Qwen2 yes; Llama/Mistral no
 
 
@@ -65,14 +69,17 @@ QWEN25_15B = DecoderConfig()
 
 QWEN2_TINY = DecoderConfig(
     vocab_size=512, hidden_size=64, num_layers=2, num_heads=4, num_kv_heads=2,
-    head_dim=16, intermediate_size=128, eos_token_id=1, pad_token_id=0)
+    head_dim=16, intermediate_size=128, eos_token_id=1, pad_token_id=0,
+    eos_token_ids=(1,))
 
 
 LLAMA32_1B = DecoderConfig(
     vocab_size=128256, hidden_size=2048, num_layers=16, num_heads=32,
     num_kv_heads=8, head_dim=64, intermediate_size=8192,
     rms_norm_eps=1e-5, rope_theta=500_000.0, tie_word_embeddings=True,
-    eos_token_id=128009, pad_token_id=128001, qkv_bias=False)
+    eos_token_id=128009, pad_token_id=128001, qkv_bias=False,
+    # Llama-3.2-Instruct generation_config eos list
+    eos_token_ids=(128001, 128008, 128009))
 
 
 def encoder_config_for(preset: str) -> EncoderConfig:
@@ -94,8 +101,8 @@ def decoder_config_from_hf(hf: dict) -> DecoderConfig:
     mt = hf.get("model_type", "llama")
     heads = hf["num_attention_heads"]
     eos = hf.get("eos_token_id", 2)
-    if isinstance(eos, list):
-        eos = eos[0]
+    eos_all = tuple(eos) if isinstance(eos, list) else (eos,)
+    eos = eos_all[0]
     pad = hf.get("pad_token_id")
     return DecoderConfig(
         vocab_size=hf["vocab_size"],
@@ -110,6 +117,7 @@ def decoder_config_from_hf(hf: dict) -> DecoderConfig:
         tie_word_embeddings=hf.get("tie_word_embeddings", False),
         max_position_embeddings=hf.get("max_position_embeddings", 4096),
         eos_token_id=eos,
+        eos_token_ids=eos_all,
         pad_token_id=pad if pad is not None else eos,
         qkv_bias=hf.get("attention_bias", mt == "qwen2"),
     )

@@ -68,6 +68,35 @@ def _mlp(params, x, act_quant=False):
     return mm(silu(gu[..., :f]) * gu[..., f:], params["down_w"])
 
 
+def _flash_config(p: int, cfg: DecoderConfig) -> tuple[bool, int]:
+    """Whether the Pallas flash kernel handles this prompt length on this
+    backend, and its block size. The XLA einsum path materializes a
+    (B, Hk, G, P, P) f32 score tensor in HBM; flash streams key/value blocks
+    through VMEM with online softmax. Any 128-multiple bucket qualifies
+    (block size drops to 128 off the 256-multiples)."""
+    use = (jax.default_backend() == "tpu" and p >= 256 and p % 128 == 0
+           and cfg.head_dim % 128 == 0)
+    return use, (256 if p % 256 == 0 else 128)
+
+
+def _layer_forward(layer, cfg, x, positions, inv_freq, b, p, act_quant,
+                   attend):
+    """One transformer block shared by prefill and compute_prefix_kv:
+    norm → fused QKV → RoPE → `attend` (caller supplies attention + any
+    prefix-KV concat, returning (attn_out, k, v)) → output proj → MLP.
+    Returns (x, k, v) with k/v as seen by attention (post-concat)."""
+    h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+    q, k, v = _qkv(layer, cfg, h, b, p, act_quant=act_quant)
+    q = apply_rope(q, positions, inv_freq)
+    k = apply_rope(k, positions, inv_freq)
+    a, k, v = attend(q, k, v)
+    a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
+    mm = dense_w8a8 if act_quant else dense
+    x = x + mm(a, layer["o_w"])
+    h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+    return x + _mlp(layer, h, act_quant=act_quant), k, v
+
+
 def embed_lookup(params: dict, ids: jax.Array, dtype) -> jax.Array:
     """Token embedding gather; supports an int8 per-row QuantizedWeight."""
     emb = params["embed"]
@@ -139,15 +168,11 @@ def prefill(
 
     x = embed_lookup(params, input_ids, dtype)
 
-    # Pallas flash attention for long prompt buckets on TPU: the XLA einsum
-    # path materializes a (B, Hk, G, P, P) f32 score tensor in HBM; flash
-    # streams key/value blocks through VMEM with online softmax. Any
-    # 128-multiple bucket qualifies (block size drops to 128 off the
-    # 256-multiples) — the mask tile is grid-indexed, no dynamic lane loads.
-    # (The prefix-KV path uses the einsum attention: its q/kv lengths differ.)
-    use_flash = (prefix_kv is None and jax.default_backend() == "tpu"
-                 and p >= 256 and p % 128 == 0 and cfg.head_dim % 128 == 0)
-    flash_blk = 256 if p % 256 == 0 else 128
+    # flash path for long prompt buckets — the mask tile is grid-indexed, no
+    # dynamic lane loads. (The prefix-KV path uses the einsum attention: its
+    # q/kv lengths differ.)
+    use_flash_, flash_blk = _flash_config(p, cfg)
+    use_flash = use_flash_ and prefix_kv is None
     if use_flash:
         bias = None
     elif prefix_kv is None:
@@ -162,30 +187,26 @@ def prefill(
             [jnp.broadcast_to(pref_bias, (b, 1, p, pl_)).astype(jnp.float32),
              causal_padding_bias(attention_mask)], axis=-1)
 
-    mm = dense_w8a8 if act_quant else dense
     ks, vs = [], []
     for li, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(layer, cfg, h, b, p, act_quant=act_quant)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
-        if prefix_kv is not None:
-            pk, pv = px_q[:, li, 0], px_q[:, li, 1]
-            if px_s is not None:  # int8 storage: dequant fused into the read
-                pk = pk.astype(k.dtype) * px_s[:, li, 0].astype(k.dtype)
-                pv = pv.astype(v.dtype) * px_s[:, li, 1].astype(v.dtype)
-            k = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
-            v = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
-        if use_flash:
-            from rag_serving_system_tpu.ops.attention import flash_attention
-            a = flash_attention(q, k, v, attention_mask, causal=True,
-                                blk_q=flash_blk, blk_k=flash_blk)
-        else:
-            a = attention(q, k, v, bias)
-        a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
-        x = x + mm(a, layer["o_w"])
-        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h, act_quant=act_quant)
+        def attend(q, k, v, li=li):
+            if prefix_kv is not None:
+                pk, pv = px_q[:, li, 0], px_q[:, li, 1]
+                if px_s is not None:  # int8 storage: dequant fuses into read
+                    pk = pk.astype(k.dtype) * px_s[:, li, 0].astype(k.dtype)
+                    pv = pv.astype(v.dtype) * px_s[:, li, 1].astype(v.dtype)
+                k = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
+                v = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
+            if use_flash:
+                from rag_serving_system_tpu.ops.attention import flash_attention
+                a = flash_attention(q, k, v, attention_mask, causal=True,
+                                    blk_q=flash_blk, blk_k=flash_blk)
+            else:
+                a = attention(q, k, v, bias)
+            return a, k, v
+
+        x, k, v = _layer_forward(layer, cfg, x, positions, inv_freq, b, p,
+                                 act_quant, attend)
         pad_t = t_max - k.shape[1]
         ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
         vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
@@ -219,28 +240,22 @@ def compute_prefix_kv(
     positions = jnp.maximum(positions, 0)
 
     x = embed_lookup(params, input_ids, dtype)
-    use_flash = (jax.default_backend() == "tpu" and p >= 256 and p % 128 == 0
-                 and cfg.head_dim % 128 == 0)
-    flash_blk = 256 if p % 256 == 0 else 128
+    use_flash, flash_blk = _flash_config(p, cfg)
     bias = None if use_flash else causal_padding_bias(attention_mask)
 
-    mm = dense_w8a8 if act_quant else dense
-    ks, vs = [], []
-    for layer in params["layers"]:
-        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
-        q, k, v = _qkv(layer, cfg, h, b, p, act_quant=act_quant)
-        q = apply_rope(q, positions, inv_freq)
-        k = apply_rope(k, positions, inv_freq)
+    def attend(q, k, v):
         if use_flash:
             from rag_serving_system_tpu.ops.attention import flash_attention
             a = flash_attention(q, k, v, attention_mask, causal=True,
                                 blk_q=flash_blk, blk_k=flash_blk)
         else:
             a = attention(q, k, v, bias)
-        a = a.reshape(b, p, cfg.num_heads * cfg.head_dim)
-        x = x + mm(a, layer["o_w"])
-        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h, act_quant=act_quant)
+        return a, k, v
+
+    ks, vs = [], []
+    for layer in params["layers"]:
+        x, k, v = _layer_forward(layer, cfg, x, positions, inv_freq, b, p,
+                                 act_quant, attend)
         ks.append(k)
         vs.append(v)
 
@@ -402,11 +417,24 @@ def generate(
             return sample_token(logits, rng, temperature, top_k, top_p)
         return jnp.argmax(logits, axis=-1)
 
+    # Instruct models often declare SEVERAL stop ids (Qwen2.5: <|im_end|>
+    # AND <|endoftext|>); a row must stop on any of them — the HF pipeline
+    # does, and missing one both defeats the early exit and leaks post-EOS
+    # samples into the answer. cfg is static, so this unrolls.
+    eos_ids = tuple(dict.fromkeys(
+        (cfg.eos_token_id,) + tuple(getattr(cfg, "eos_token_ids", ()))))
+
+    def is_eos(tok):
+        hit = tok == eos_ids[0]
+        for e in eos_ids[1:]:
+            hit = hit | (tok == e)
+        return hit
+
     rng, rng0 = jax.random.split(rng)
     tok0 = pick(logits0, rng0).astype(jnp.int32)
     if row_valid is not None:
         tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
-    done0 = tok0 == cfg.eos_token_id
+    done0 = is_eos(tok0)
     if row_valid is not None:
         done0 = done0 | jnp.logical_not(row_valid)
     out0 = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
@@ -426,7 +454,7 @@ def generate(
                                     attention_mask, dtype=dtype)
         nxt = pick(logits, step_rng).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(cfg.pad_token_id), nxt)
-        done = done | (nxt == cfg.eos_token_id)
+        done = done | is_eos(nxt)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step + 1))
         return (step + 1, nxt, done, cache, rng, out)
 

@@ -128,6 +128,18 @@ def flash_attention(
         _flash_kernel, blk_q=blk_q, blk_k=blk_k,
         causal=causal, sm_scale=sm_scale)
 
+    # causal: clamp the K/V (and mask) block index at this q-block's
+    # diagonal. Key blocks strictly above it are skipped by the kernel's
+    # pl.when — but WITHOUT the clamp their DMAs still run (the pipeline
+    # fetches whatever the index map names). A clamped (repeated) index is
+    # recognized by the pipeline as "block unchanged" and the copy is
+    # elided, saving ~(nk-1)/2nk of all K/V HBM traffic (the standard JAX
+    # TPU flash-kernel trick).
+    def ki_eff(qi, ki):
+        if not causal:
+            return ki
+        return jnp.minimum(ki, ((qi + 1) * blk_q - 1) // blk_k)
+
     grid = (b, hq, s // blk_q, s // blk_k)
     out = pl.pallas_call(
         kernel,
@@ -136,15 +148,15 @@ def flash_attention(
             # padding mask: (B, blk_k) tile per key block (full batch dim —
             # (1, blk_k) violates the sublane tiling minimum); the kernel
             # picks its row by program id
-            pl.BlockSpec((b, blk_k), lambda bi, hi, qi, ki: (0, ki),
+            pl.BlockSpec((b, blk_k), lambda bi, hi, qi, ki: (0, ki_eff(qi, ki)),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blk_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blk_k, d),
-                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki_eff(qi, ki), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, blk_k, d),
-                         lambda bi, hi, qi, ki: (bi, hi // group, ki, 0),
+                         lambda bi, hi, qi, ki: (bi, hi // group, ki_eff(qi, ki), 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, blk_q, d),

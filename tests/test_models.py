@@ -172,3 +172,23 @@ def test_early_exit_with_pad_rows(dec_params):
     assert toks[0, 0] == first
     assert (toks[0, 1:] == cfg_eos.pad_token_id).all()
     assert (toks[1] == cfg_eos.pad_token_id).all()
+
+
+def test_generate_stops_on_any_eos_id():
+    """Instruct models declare several stop ids (Qwen2.5: im_end AND
+    endoftext); generate must stop a row on ANY of them. Constructed so the
+    very first emitted token is a secondary EOS: everything after must be
+    pad and the early exit must have fired."""
+    import dataclasses
+
+    from rag_serving_system_tpu.models.configs import QWEN2_TINY
+    from rag_serving_system_tpu.models.qwen2 import generate
+    from rag_serving_system_tpu.models.weights import init_decoder_params
+
+    cfg = dataclasses.replace(QWEN2_TINY, eos_token_ids=tuple(range(512)))
+    params = init_decoder_params(cfg, seed=3, dtype=jnp.float32)
+    ids = jnp.asarray([[5, 9, 17, 4]], dtype=jnp.int32)
+    out = np.asarray(generate(params, cfg, ids, jnp.ones_like(ids),
+                              jax.random.PRNGKey(0), max_new_tokens=6,
+                              do_sample=False, dtype=jnp.float32))
+    assert (out[:, 1:] == cfg.pad_token_id).all()

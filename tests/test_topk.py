@@ -89,3 +89,24 @@ def test_pallas_bf16_corpus_matches_bf16_oracle():
         c_bf.astype(jnp.float32), jnp.asarray(queries), 5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i_ref))
     np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), atol=2e-3)
+
+
+def test_topk_large_query_batch_shrinks_block(rng):
+    """Large B must shrink the corpus block (B-dependent VMEM buffers grow
+    with the batch) and stay oracle-exact — previously the block budget
+    ignored B and Mosaic could exceed scoped VMEM at serve time."""
+    from rag_serving_system_tpu.ops.topk import (
+        cosine_topk_pallas,
+        cosine_topk_reference,
+    )
+
+    corpus = rng.standard_normal((700, 256)).astype(np.float32)
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = rng.standard_normal((512, 256)).astype(np.float32)
+    got_s, got_i = cosine_topk_pallas(jnp.asarray(corpus), jnp.asarray(queries),
+                                      k=8, interpret=True)
+    ref_s, ref_i = cosine_topk_reference(jnp.asarray(corpus),
+                                         jnp.asarray(queries), k=8)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
+                               rtol=1e-5, atol=1e-5)
