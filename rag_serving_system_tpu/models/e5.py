@@ -60,6 +60,16 @@ def encoder_forward(
 ) -> jax.Array:
     """Returns last_hidden_state (B, L, H)."""
     emb = params["embed"]
+    # guard the position table: jnp.take CLAMPS out-of-range ids, so an
+    # over-long sequence would silently share the last position embedding
+    # across its tail instead of erroring like HF. The engine's encode
+    # buckets cap at 512, but direct callers get a real error.
+    max_l = emb["pos"].shape[0] - (cfg.pad_token_id + 1
+                                   if cfg.position_style == "roberta" else 0)
+    if input_ids.shape[1] > max_l:
+        raise ValueError(
+            f"sequence length {input_ids.shape[1]} exceeds the position "
+            f"table ({max_l} usable rows); truncate or bucket the input")
     pos_ids = position_ids(cfg, input_ids)
     x = (
         jnp.take(emb["word"], input_ids, axis=0)

@@ -102,6 +102,10 @@ def ivf_search(index: IvfIndex, queries: jax.Array, k: int,
     id -1 marks below-capacity slots when fewer than k candidates exist)."""
     q = _l2_normalize(queries.astype(jnp.float32))          # (B, D)
     c_scores = q @ index.centroids.T                        # (B, C)
+    # clamp the probe and candidate widths to what the index actually holds:
+    # lax.top_k REQUIRES k <= axis size (small corpora build fewer clusters
+    # than requested, and tiny nprobe*cap pools can undercut k)
+    nprobe = min(nprobe, index.centroids.shape[0])
     _, probe = jax.lax.top_k(c_scores, nprobe)              # (B, nprobe)
 
     cand = index.packed[probe]                              # (B, nprobe, cap, D)
@@ -112,6 +116,11 @@ def ivf_search(index: IvfIndex, queries: jax.Array, k: int,
     scores = scores.reshape(b, -1)
     cand_idx = cand_idx.reshape(b, -1)
     scores = jnp.where(cand_idx >= 0, scores, NEG_INF)      # mask padding
-    top_s, pos = jax.lax.top_k(scores, k)
+    k_eff = min(k, scores.shape[1])
+    top_s, pos = jax.lax.top_k(scores, k_eff)
     top_i = jnp.take_along_axis(cand_idx, pos, axis=1)
+    if k_eff < k:  # keep the (B, k) contract; -1 marks missing candidates
+        pad = ((0, 0), (0, k - k_eff))
+        top_s = jnp.pad(top_s, pad, constant_values=NEG_INF)
+        top_i = jnp.pad(top_i, pad, constant_values=-1)
     return top_s, top_i

@@ -141,13 +141,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret",
+                                             "normalize_queries"))
 def cosine_topk_pallas(
     corpus: jax.Array,      # (N, D) pre-normalized, f32 or bf16
     queries: jax.Array,     # (B, D)
     k: int,
     block_n: int = 2048,
     interpret: bool = False,
+    normalize_queries: bool = True,  # False when the caller pre-normalized
 ) -> tuple[jax.Array, jax.Array]:
     """Fused streaming cosine top-k. Returns ((B,k) f32 scores, (B,k) i32 indices).
 
@@ -160,7 +162,7 @@ def cosine_topk_pallas(
     b = queries.shape[0]
     c_dtype = corpus.dtype if corpus.dtype == jnp.bfloat16 else jnp.float32
     itemsize = 2 if c_dtype == jnp.bfloat16 else 4
-    q = _l2_normalize(queries).astype(c_dtype)
+    q = (_l2_normalize(queries) if normalize_queries else queries).astype(c_dtype)
     c = corpus.astype(c_dtype)
 
     # VMEM budget: the corpus block is double-buffered by the pallas pipeline

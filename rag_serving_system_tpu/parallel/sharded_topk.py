@@ -72,7 +72,8 @@ def sharded_cosine_topk(
         di = jax.lax.axis_index(("data", "model"))
         base = di * shard_n
         if use_pallas:
-            s, i = cosine_topk_pallas(c_shard, q_rep, k_local)
+            s, i = cosine_topk_pallas(c_shard, q_rep, k_local,
+                                      normalize_queries=False)
         else:
             s, i = cosine_topk_reference(c_shard, q_rep, k_local,
                                          normalize_queries=False)

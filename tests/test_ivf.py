@@ -62,3 +62,18 @@ def test_ivf_interface_edges(rng):
     assert ivf.batch_retrieve(np.ones((1, 32), np.float32), [2]) == [[]]
     out = ivf.retrieve(np.ones(64, np.float32), k=3)
     assert len(out) == 3
+
+
+def test_ivf_small_corpus_clamps_nprobe_and_k(rng):
+    """Small corpora build fewer clusters than requested and can have fewer
+    candidates than k; both previously crashed lax.top_k."""
+    from rag_serving_system_tpu.core.retriever import IvfRetriever
+
+    docs = [f"doc {i}" for i in range(10)]
+    emb = rng.standard_normal((10, 64)).astype(np.float32)
+    r = IvfRetriever(emb, docs, n_clusters=64, nprobe=16, max_k=16)
+    assert r.nprobe <= r.index.centroids.shape[0]
+    out = r.batch_retrieve(rng.standard_normal((3, 64)).astype(np.float32),
+                           [8, 2, 16])
+    assert len(out) == 3 and all(len(row) >= 1 for row in out)
+    assert all(d in docs for row in out for d in row)

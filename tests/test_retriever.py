@@ -104,3 +104,48 @@ def test_recall_on_shipped_squad_corpus():
     expected = simple.batch_retrieve(queries, ks)
     assert tpu.batch_retrieve(queries, ks) == expected
     assert sharded.batch_retrieve(queries, ks) == expected
+
+
+def test_simple_retriever_tie_break_matches_top_k():
+    """The numpy oracle must tie-break like lax.top_k (lowest index wins) —
+    duplicate documents/embeddings are common and argpartition's arbitrary
+    intra-tie order made oracle-parity checks flaky. One-hot embeddings make
+    every score exactly 0 or 1 in BOTH implementations, so the comparison
+    tests pure tie-breaking, not float rounding."""
+    import jax.numpy as jnp
+    from rag_serving_system_tpu.core.retriever import SimpleRetriever
+    from rag_serving_system_tpu.ops.topk import cosine_topk_reference
+
+    eye = np.eye(8, dtype=np.float32)
+    # docs 0..7 distinct; 8..11 duplicate 0..3; 12..13 duplicate 0..1
+    emb = np.concatenate([eye, eye[:4], eye[:2]])
+    docs = [f"d{i}" for i in range(len(emb))]
+    r = SimpleRetriever(emb, docs)
+    q = eye[:5]  # query i scores 1.0 on every copy of basis vector i, 0 else
+    _, want = cosine_topk_reference(jnp.asarray(emb), jnp.asarray(q), 6)
+    got = r.batch_retrieve(q, [6] * 5)
+    want_docs = [[docs[i] for i in row] for row in np.asarray(want)]
+    assert got == want_docs
+
+
+def test_simple_retriever_empty_and_malformed(rng):
+    from rag_serving_system_tpu.core.retriever import SimpleRetriever
+
+    empty = SimpleRetriever(np.zeros((0, 16), np.float32), [])
+    assert empty.retrieve(rng.standard_normal(16).astype(np.float32), 2) == []
+    r = SimpleRetriever(rng.standard_normal((4, 16)).astype(np.float32),
+                        ["a", "b", "c", "d"])
+    assert r.retrieve(np.zeros(7, np.float32), 2) == []  # wrong dim → empty
+
+
+def test_device_retrievers_clamp_k_to_max_k(rng):
+    """A huge requested k must clamp to the compiled max_k width instead of
+    compiling an unbounded-k kernel (k-DoS guard at the retriever level)."""
+    from rag_serving_system_tpu.core.retriever import TpuRetriever
+
+    docs = [f"doc {i}" for i in range(50)]
+    emb = rng.standard_normal((50, 32)).astype(np.float32)
+    r = TpuRetriever(emb, docs, max_k=4, use_pallas=False)
+    out = r.batch_retrieve(rng.standard_normal((2, 32)).astype(np.float32),
+                           [5000, 2])
+    assert len(out[0]) == 4 and len(out[1]) == 2
