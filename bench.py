@@ -40,9 +40,13 @@ def build_corpus(n_docs: int, dim: int, config: str = "short_facts"):
     import numpy as np
 
     if config == "squad_real":
-        with open(os.path.join(REF_DATA, "squad_contexts.json")) as f:
+        # repo-local import of the genuine SQuAD artifacts (data/README.md);
+        # falls back to a reference checkout for older trees
+        base = ("data/squad_real" if os.path.exists("data/squad_real_contexts.json")
+                else os.path.join(REF_DATA, "squad"))
+        with open(base + "_contexts.json") as f:
             docs = json.load(f)
-        emb = np.load(os.path.join(REF_DATA, "squad_embeddings.npy"))
+        emb = np.load(base + "_embeddings.npy")
         assert emb.shape[1] == dim, (
             f"squad_real needs the full-size encoder (dim {emb.shape[1]})")
         return docs, emb
@@ -82,10 +86,12 @@ def main() -> None:
     # legacy alias and relabeled honestly.
     config = os.environ.get("BENCH_CONFIG", "short_facts")
     if config == "squad":
-        # real corpus needs the full-size (1024-d) encoder and the reference
-        # checkout; otherwise report honestly as synthetic
-        config = ("squad_real"
-                  if mode != "tiny" and os.path.exists(REF_DATA)
+        # real corpus needs the full-size (1024-d) encoder and the genuine
+        # SQuAD artifacts (repo-local import, or a reference checkout);
+        # otherwise report honestly as synthetic
+        have_real = (os.path.exists("data/squad_real_contexts.json")
+                     or os.path.exists(REF_DATA))
+        config = ("squad_real" if mode != "tiny" and have_real
                   else "squad_synthetic")
     # weight-only int8 decode + W8A8 prefill is the production serving config
     # (per-channel weights, dynamic per-token activations — prefill logits
@@ -130,7 +136,10 @@ def main() -> None:
     print(f"[bench] engine ready in {time.time() - t0:.1f}s", file=sys.stderr)
 
     if config == "squad_real":
-        with open(os.path.join(REF_DATA, "squad_queries.json")) as f:
+        qpath = ("data/squad_real_queries.json"
+                 if os.path.exists("data/squad_real_queries.json")
+                 else os.path.join(REF_DATA, "squad_queries.json"))
+        with open(qpath) as f:
             real_queries = json.load(f)
         queries = [real_queries[i % len(real_queries)] for i in range(batch)]
     else:

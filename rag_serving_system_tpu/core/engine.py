@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import threading
 import time
 from typing import List, Sequence
 
@@ -215,11 +216,16 @@ class RagEngine:
         self._rng = jax.random.PRNGKey(0)
         self.timer = StageTimer()
 
-        # exact prefix-KV cache (single-device path; under a mesh the KV is
-        # model-sharded and the slot pool would need per-axis layouts — off)
+        # exact prefix-KV cache. Under a mesh the VALUE pool is TP-sharded on
+        # the flattened (Hk*D) dim — the same "model"-axis split as the
+        # decoder's KV heads — and replicated over "data"; GSPMD keeps the
+        # gather/scatter per-shard, so no device holds the whole pool.
         self.prefix_cache = None
         self.prefix_int8 = False
-        if settings.prefix_cache and n_dev == 1:
+        from collections import OrderedDict
+        self._prefix_tok_cache: OrderedDict = OrderedDict()
+        self._prefix_tok_lock = threading.Lock()
+        if settings.prefix_cache:
             c = self.dec_cfg
             # no point caching beyond the longest prompt the engine ever
             # prefills — clamping keeps short-prompt configs' decode window
@@ -234,7 +240,18 @@ class RagEngine:
                 entry_bytes = slots * c.head_dim * jnp.dtype(self.dtype).itemsize
             entry_shape = (c.num_layers, 2, pool_len, c.num_kv_heads,
                            c.head_dim)
+            pool_sharding = None
+            if n_dev > 1:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                tp = mesh.shape.get("model", 1)
+                kv_flat = c.num_kv_heads * c.head_dim
+                spec = (P(None, None, None, "model")
+                        if tp > 1 and kv_flat % tp == 0
+                        else P(None, None, None, None))
+                pool_sharding = NamedSharding(mesh, spec)
             self.prefix_cache = PrefixKVCache(
+                sharding=pool_sharding,
                 pool_len=pool_len,
                 entry_bytes=entry_bytes,
                 budget_mb=settings.prefix_cache_mb,
@@ -340,6 +357,23 @@ class RagEngine:
             return out
         return self.finalize_tokens(self.generate_tokens(prompts))
 
+    def _prefix_tokens(self, key, prefix_text: str) -> list:
+        """Tokenize a context prefix, memoized by cache key — rows sharing a
+        context (and repeat batches on cache hits) were re-tokenizing the
+        same ~400-token prefix once per row (advisor finding, round 2)."""
+        with self._prefix_tok_lock:
+            toks = self._prefix_tok_cache.get(key)
+            if toks is not None:
+                self._prefix_tok_cache.move_to_end(key)
+                return toks
+        toks = self.dec_tok.encode(prefix_text)
+        with self._prefix_tok_lock:
+            self._prefix_tok_cache[key] = toks
+            self._prefix_tok_cache.move_to_end(key)
+            while len(self._prefix_tok_cache) > 4096:
+                self._prefix_tok_cache.popitem(last=False)
+        return toks
+
     def stage_prompts(self, prompts: List[str]):
         """Tokenize, pad, and ship a prompt batch to the DEVICE. Runs on the
         stage-1 (prefetch) thread so the tokenizer work and the host→device
@@ -368,7 +402,7 @@ class RagEngine:
                 key = getattr(padded[i], "cache_key", None) if i < n else None
                 m = 0
                 if key is not None and len(full) <= max_cov:
-                    pre = self.dec_tok.encode(padded[i].prefix_text)
+                    pre = self._prefix_tokens(key, padded[i].prefix_text)
                     m = split_prefix_tokens(full, pre, pool_len)
                     if m < self.prefix_cache.min_tokens:
                         m = 0
@@ -379,10 +413,19 @@ class RagEngine:
                     if i < n:
                         self.prefix_cache.note_bypass()
                 suffix_rows.append(full[m:])
-            rows = suffix_rows
-            plen = pick_bucket(
-                SUFFIX_LEN_BUCKETS + self.settings.prompt_len_buckets,
-                max((len(r) for r in rows[:n]), default=1))
+            if any(m is not None for m in metas):
+                rows = suffix_rows
+                plen = pick_bucket(
+                    SUFFIX_LEN_BUCKETS + self.settings.prompt_len_buckets,
+                    max((len(r) for r in rows[:n]), default=1))
+            else:
+                # ALL rows bypassed (short contexts / over-long prompts): run
+                # the plain no-prefix trace at a PROMPT bucket — a suffix
+                # bucket here would hit a (batch, 32/64) no-prefix shape that
+                # warmup never compiles (advisor finding, round 2)
+                metas = None
+                plen = pick_bucket(self.settings.prompt_len_buckets,
+                                   max(len(r) for r in rows[:n]))
         else:
             plen = pick_bucket(self.settings.prompt_len_buckets,
                                max(len(r) for r in rows[:n]))
@@ -594,6 +637,12 @@ class RagEngine:
                 self.prefix_cache.put_batch(
                     [("_warmup_", mb)], [(0,)], kv)
             self._warm_prefix_suffix_shapes(sizes if full else None)
+            # seed the persistent compile cache with the gather/scatter
+            # programs for every lazy-growth pool size (AOT — allocates
+            # nothing), so a mid-serving growth compiles from disk
+            self.prefix_cache.warm_compiles(
+                gather_counts=self.batch_buckets,
+                scatter_counts=self.prefix_compute_buckets)
         # warmup stage times are compile times — drop them so the /stats
         # means reflect serving, not XLA
         self.timer.reset()

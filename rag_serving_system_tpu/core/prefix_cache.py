@@ -26,10 +26,13 @@ vLLM-style automatic prefix caching:
   `compute_prefix_kv` dispatch — so even at 0% hit rate the prefix tokens
   are prefilled once per distinct context instead of once per row.
 
-Memory is RESERVED UP FRONT for the whole budget (capacity slots). Eviction
-is LRU slot reuse; it is safe against in-flight batches because a single
-device executes programs in dispatch order — a gather dispatched before the
-overwriting scatter reads the old slot contents.
+Memory grows LAZILY in doubling slot chunks up to the byte budget (round 2
+reserved the whole 2 GB budget up front even with 2 live entries — poor HBM
+hygiene); rows 0/1 are permanent zero/scratch slots so data-slot indices
+stay valid across growth. Eviction is LRU slot reuse once at full capacity;
+it is safe against in-flight batches because a single device executes
+programs in dispatch order — a gather dispatched before the overwriting
+scatter reads the old slot contents.
 """
 
 from __future__ import annotations
@@ -71,6 +74,22 @@ _scatter = jax.jit(lambda pool, slots, rows:
                        .astype(pool.dtype)),
                    donate_argnums=0)
 
+# pool growth: copy live rows into a larger zero/one-filled pool (no
+# donation — the shapes differ, so aliasing is impossible anyway; both pools
+# coexist only for the duration of the copy)
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _grow_fn(rows: int, fill: int, sharding):
+    return jax.jit(lambda pool: jnp.full(
+        (rows,) + pool.shape[1:], fill, pool.dtype).at[:pool.shape[0]].set(pool),
+        out_shardings=sharding)
+
+
+def _grow(pool, rows, fill, sharding=None):
+    return _grow_fn(rows, fill, sharding)(pool)
+
 
 class PrefixKVCache:
     """Host-side LRU index over a device-resident slot pool.
@@ -86,48 +105,102 @@ class PrefixKVCache:
     With `int8=True` two pools are kept: int8 values + f32 per-(token, head)
     scales (see models.qwen2.quantize_prefix_kv)."""
 
+    # data slots start past the two permanent rows (0 zeros, 1 scratch) so
+    # slot indices stay valid as the pool grows
+    _RESERVED_ROWS = 2
+    ZERO = 0
+    SCRATCH = 1
+
     def __init__(self, pool_len: int, entry_bytes: int, budget_mb: int = 2048,
                  min_tokens: int = 16, entry_shape: tuple | None = None,
-                 dtype=None, int8: bool = False, min_slots: int = 0):
+                 dtype=None, int8: bool = False, min_slots: int = 0,
+                 initial_slots: int = 16, sharding=None):
         import os
 
         self.pool_len = int(pool_len)
         self.entry_bytes = int(entry_bytes)
         self.capacity = max(1, (budget_mb * (1 << 20)) // max(1, entry_bytes))
-        # the pool is RESERVED up front (capacity+2 rows), so cap the entry
-        # count too — with small per-entry payloads (tiny models) the byte
-        # budget alone would reserve gigabytes of slots nothing will fill
+        # cap the entry count too — with small per-entry payloads (tiny
+        # models) the byte budget alone would admit millions of slots
         self.capacity = min(self.capacity,
                             int(os.environ.get("PREFIX_MAX_ENTRIES", "4096")))
         # slot-reuse safety needs headroom: one batch can protect up to
         # 2 x max_batch slots (its hits + its own fresh inserts), and an
         # allocator that can't find an unprotected victim would have to fail
         # the batch — so the engine passes min_slots = 2*max_batch + 1 and
-        # we reserve past the byte budget if needed (logged via stats)
+        # we admit past the byte budget if needed (logged via stats)
         self.capacity = max(self.capacity, min_slots)
         self.min_tokens = min_tokens
         self.int8 = int8
         self._entries: "OrderedDict[Hashable, PrefixEntry]" = OrderedDict()
-        self._free: list[int] = list(range(self.capacity))
+        # LAZY pool: start with a small slot chunk and double on demand up to
+        # capacity — LRU eviction only begins once the full budget is live
+        self.n_slots = min(self.capacity, max(1, initial_slots))
+        self._free: list[int] = list(range(
+            self._RESERVED_ROWS, self._RESERVED_ROWS + self.n_slots))
         self._lock = threading.Lock()
         self.hits = 0
         self.misses = 0
         self.bypassed = 0  # rows that skipped the prefix path entirely
-        self.zero_slot = self.capacity       # permanent all-zeros row
-        self.scratch_slot = self.capacity + 1  # scatter target for pad rows
+        self.grows = 0
+        self.zero_slot = self.ZERO       # permanent all-zeros row
+        self.scratch_slot = self.SCRATCH  # scatter target for pad rows
         self._pool = self._pool_scale = None
+        # optional NamedSharding for the VALUE pool rows (TP mesh: shard the
+        # flattened Hk*D dim over "model", matching the decoder's KV-head
+        # sharding, replicated over "data"); scales replicate (tiny).
+        # Each allocation goes through out_shardings so no single device ever
+        # materializes the full pool.
+        self._sharding = sharding
         if entry_shape is not None:
             ll, two, pl, hk, d = entry_shape
             self.entry_shape = tuple(entry_shape)
             self.scale_shape = (ll, two, pl, hk, 1)
-            flat = (ll * two, pl, hk * d)
-            flat_scale = (ll * two, pl * hk)
-            n = self.capacity + 2
+            self._flat = (ll * two, pl, hk * d)
+            self._flat_scale = (ll * two, pl * hk)
+            self._dtype = dtype
+            n = self._RESERVED_ROWS + self.n_slots
             if int8:
-                self._pool = jnp.zeros((n,) + flat, jnp.int8)
-                self._pool_scale = jnp.ones((n,) + flat_scale, jnp.float32)
+                self._pool = self._alloc((n,) + self._flat, jnp.int8, 0,
+                                         sharding)
+                self._pool_scale = self._alloc((n,) + self._flat_scale,
+                                               jnp.float32, 1, None)
             else:
-                self._pool = jnp.zeros((n,) + flat, dtype)
+                self._pool = self._alloc((n,) + self._flat, dtype, 0, sharding)
+
+    @staticmethod
+    def _alloc(shape, dtype, fill, sharding):
+        if sharding is None:
+            return jnp.full(shape, fill, dtype)
+        return jax.jit(lambda: jnp.full(shape, fill, dtype),
+                       out_shardings=sharding)()
+
+    def _growth_sizes(self) -> list[int]:
+        """Every pool ROW count the doubling schedule can reach (for warmup
+        to pre-compile the gather/scatter programs at each size)."""
+        sizes, n = [], self.n_slots
+        while True:
+            sizes.append(self._RESERVED_ROWS + n)
+            if n >= self.capacity:
+                return sizes
+            n = min(self.capacity, n * 2)
+
+    def _grow_locked(self) -> None:
+        """Double the slot count (up to capacity): allocate the larger pool,
+        copy live rows, extend the free list. One device dispatch per pool;
+        the gather/scatter jits recompile per pool size, which warmup
+        pre-seeds via `warm_compiles` (growth sizes are geometric, so there
+        are only ~log2(capacity) programs ever)."""
+        new_n = min(self.capacity, max(self.n_slots * 2, 1))
+        if new_n <= self.n_slots:
+            raise RuntimeError("_grow_locked called at full capacity")
+        rows = self._RESERVED_ROWS + new_n
+        self._pool = _grow(self._pool, rows, 0, self._sharding)
+        if self._pool_scale is not None:
+            self._pool_scale = _grow(self._pool_scale, rows, 1, None)
+        self._free.extend(range(self._RESERVED_ROWS + self.n_slots, rows))
+        self.n_slots = new_n
+        self.grows += 1
 
     def get(self, key: Hashable, tokens: Tuple[int, ...]) -> Optional[PrefixEntry]:
         with self._lock:
@@ -141,6 +214,9 @@ class PrefixKVCache:
 
     def _alloc_slot_locked(self, protected: set) -> int:
         if self._free:
+            return self._free.pop()
+        if self.n_slots < self.capacity:
+            self._grow_locked()
             return self._free.pop()
         # LRU reuse, skipping slots the CURRENT batch references (its hits
         # and its own fresh inserts): the batch's gather is dispatched AFTER
@@ -213,14 +289,41 @@ class PrefixKVCache:
     def __len__(self) -> int:
         return len(self._entries)
 
+    def warm_compiles(self, gather_counts, scatter_counts) -> None:
+        """Pre-seed the persistent XLA compile cache with the gather/scatter
+        programs for EVERY pool size the doubling growth can reach, via AOT
+        lowering (jax.ShapeDtypeStruct — no pool of that size is allocated).
+        A growth event mid-serving then compiles from the disk cache instead
+        of from scratch."""
+        import numpy as np  # noqa: F401  (ShapeDtypeStruct only)
+
+        pools = ([(self._flat, self._pool.dtype)] if not self.int8 else
+                 [(self._flat, jnp.int8), (self._flat_scale, jnp.float32)])
+        shapes = ([self.entry_shape] if not self.int8 else
+                  [self.entry_shape, self.scale_shape])
+        for rows in self._growth_sizes():
+            for (flat, dt), eshape in zip(pools, shapes):
+                pool_av = jax.ShapeDtypeStruct((rows,) + flat, dt)
+                for b in sorted(set(gather_counts)):
+                    idx = jax.ShapeDtypeStruct((b,), jnp.int32)
+                    _gather.lower(pool_av, idx, eshape).compile()
+                for m in sorted(set(scatter_counts)):
+                    idx = jax.ShapeDtypeStruct((m,), jnp.int32)
+                    rows_av = jax.ShapeDtypeStruct((m,) + eshape, dt)
+                    _scatter.lower(pool_av, idx, rows_av).compile()
+
     def stats(self) -> dict:
         with self._lock:
             lookups = self.hits + self.misses
+            rows = self._RESERVED_ROWS + self.n_slots
+            reserved = rows * self.entry_bytes
             return {
                 "entries": len(self._entries),
                 "capacity": self.capacity,
+                "slots": self.n_slots,
+                "grows": self.grows,
                 "bytes": len(self._entries) * self.entry_bytes,
-                "pool_reserved_bytes": (self.capacity + 1) * self.entry_bytes,
+                "pool_reserved_bytes": reserved,
                 "hits": self.hits,
                 "misses": self.misses,
                 "bypassed": self.bypassed,

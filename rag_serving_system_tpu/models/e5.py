@@ -11,12 +11,14 @@ Replaces the reference's torch `AutoModel` forward + mean-pool embedding stage
 - Queries are prefixed "query: " and passages "passage: " at tokenize time by
   the callers (batch_processor.py:83, scripts/fact_dataset.py:189).
 
-Params pytree layout (per layer, dense weights stored (in, out); QKV fused
-into one (H, 3H) matmul — one big MXU op instead of three smaller dispatches):
+Params pytree layout (dense weights stored (in, out); QKV fused into one
+(H, 3H) matmul — one big MXU op instead of three smaller dispatches; layer
+weights STACKED on a leading L axis and scanned, see models/qwen2.py):
   {"embed": {"word", "pos", "type", "ln_scale", "ln_bias"},
-   "layers": [{"qkv_w","qkv_b","o_w","o_b",
-               "attn_ln_scale","attn_ln_bias",
-               "ff_w1","ff_b1","ff_w2","ff_b2","ff_ln_scale","ff_ln_bias"}...]}
+   "layers": {"qkv_w": (L,H,3H), "qkv_b": (L,3H), "o_w", "o_b",
+              "attn_ln_scale", "attn_ln_bias",
+              "ff_w1", "ff_b1", "ff_w2", "ff_b2",
+              "ff_ln_scale", "ff_ln_bias"}}
 """
 
 from __future__ import annotations
@@ -82,7 +84,9 @@ def encoder_forward(
     b, l = input_ids.shape
     h, d = cfg.num_heads, cfg.head_dim
 
-    for layer in params["layers"]:
+    # scan over the stacked (L, ...) layer weights — one compiled layer body
+    # instead of L unrolled copies (see models/qwen2.py module docstring)
+    def body(x, layer):
         hd = h * d
         qkv = dense(x, layer["qkv_w"], layer["qkv_b"])
         q = qkv[..., :hd].reshape(b, l, h, d)
@@ -96,6 +100,9 @@ def encoder_forward(
                   layer["ff_w2"], layer["ff_b2"])
         x = layer_norm(x + f, layer["ff_ln_scale"], layer["ff_ln_bias"],
                        cfg.layer_norm_eps)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
     return x
 
 

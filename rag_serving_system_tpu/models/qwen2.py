@@ -15,9 +15,14 @@ Replaces the reference's HF text-generation pipeline stage
 
 Params pytree layout (dense weights stored (in, out); QKV fused into one
 (H, Hq*D + 2*Hk*D) matmul and gate+up into one (H, 2F) matmul — fewer,
-larger MXU ops):
+larger MXU ops). Layer weights are STACKED on a leading L axis and the
+forwards `lax.scan` over them: the compiled program contains one layer body
+instead of L unrolled copies, which cuts XLA compile time ~L-fold (the
+28-layer unroll cost 20+ minutes of cold compile per shape bucket) at
+identical steady-state speed:
   {"embed": (V, H),
-   "layers": [{"ln1", "qkv_w","qkv_b","o_w", "ln2", "gu_w","down_w"}...],
+   "layers": {"ln1": (L,H), "qkv_w": (L,H,·), "qkv_b": (L,·), "o_w": (L,·,H),
+              "ln2": (L,H), "gu_w": (L,H,2F), "down_w": (L,F,H)},
    "ln_f": (H,), "lm_head": (H, V) — omitted when tied (lm_head = embed.T)}
 """
 
@@ -44,10 +49,10 @@ from rag_serving_system_tpu.models.layers import (
 
 
 class KVCache(NamedTuple):
-    # per-layer tuples of (B, T_max, Hk, D); a pytree carry, so lax.scan can
-    # donate/alias buffers instead of restacking the whole cache every step
-    k: tuple
-    v: tuple
+    # STACKED (L, B, T_max, Hk, D) arrays — the layer scan slices its row per
+    # step (cache.k[li] still reads layer li, e.g. in tests)
+    k: jax.Array
+    v: jax.Array
 
 
 def _qkv(params, cfg, x, b, s, act_quant=False):
@@ -187,14 +192,24 @@ def prefill(
             [jnp.broadcast_to(pref_bias, (b, 1, p, pl_)).astype(jnp.float32),
              causal_padding_bias(attention_mask)], axis=-1)
 
-    ks, vs = [], []
-    for li, layer in enumerate(params["layers"]):
-        def attend(q, k, v, li=li):
+    # scan over the stacked layer weights: the XLA program holds ONE layer
+    # body (compile time ∝ 1 layer, not L — a 28-layer unroll compiled for
+    # tens of minutes per shape bucket); weight slices stream per step
+    xs = {"layer": params["layers"]}
+    if prefix_kv is not None:
+        xs["px"] = jnp.moveaxis(px_q, 1, 0)        # (L, B, 2, PL, Hk, D)
+        if px_s is not None:
+            xs["px_s"] = jnp.moveaxis(px_s, 1, 0)
+
+    def body(x, xs_l):
+        def attend(q, k, v):
             if prefix_kv is not None:
-                pk, pv = px_q[:, li, 0], px_q[:, li, 1]
+                px_l = xs_l["px"]                   # (B, 2, PL, Hk, D)
+                pk, pv = px_l[:, 0], px_l[:, 1]
                 if px_s is not None:  # int8 storage: dequant fuses into read
-                    pk = pk.astype(k.dtype) * px_s[:, li, 0].astype(k.dtype)
-                    pv = pv.astype(v.dtype) * px_s[:, li, 1].astype(v.dtype)
+                    s_l = xs_l["px_s"]
+                    pk = pk.astype(k.dtype) * s_l[:, 0].astype(k.dtype)
+                    pv = pv.astype(v.dtype) * s_l[:, 1].astype(v.dtype)
                 k = jnp.concatenate([pk.astype(k.dtype), k], axis=1)
                 v = jnp.concatenate([pv.astype(v.dtype), v], axis=1)
             if use_flash:
@@ -205,15 +220,18 @@ def prefill(
                 a = attention(q, k, v, bias)
             return a, k, v
 
-        x, k, v = _layer_forward(layer, cfg, x, positions, inv_freq, b, p,
-                                 act_quant, attend)
-        pad_t = t_max - k.shape[1]
-        ks.append(jnp.pad(k, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
-        vs.append(jnp.pad(v, ((0, 0), (0, pad_t), (0, 0), (0, 0))))
+        x, k, v = _layer_forward(xs_l["layer"], cfg, x, positions, inv_freq,
+                                 b, p, act_quant, attend)
+        return x, (k, v)
+
+    x, (ks, vs) = jax.lax.scan(body, x, xs)
+    # (L, B, PL+P, Hk, D) → pad the time axis out to t_max decode slots
+    pad_t = t_max - ks.shape[2]
+    ks = jnp.pad(ks, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
+    vs = jnp.pad(vs, ((0, 0), (0, 0), (0, pad_t), (0, 0), (0, 0)))
 
     logits = logits_from_hidden(params, cfg, x[:, -1, :])
-    cache = KVCache(k=tuple(ks), v=tuple(vs))
-    return logits, cache
+    return logits, KVCache(k=ks, v=vs)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "dtype", "act_quant"))
@@ -252,15 +270,14 @@ def compute_prefix_kv(
             a = attention(q, k, v, bias)
         return a, k, v
 
-    ks, vs = [], []
-    for layer in params["layers"]:
+    def body(x, layer):
         x, k, v = _layer_forward(layer, cfg, x, positions, inv_freq, b, p,
                                  act_quant, attend)
-        ks.append(k)
-        vs.append(v)
+        return x, (k, v)
 
-    # (M, L, 2, PL, Hk, D) in the cache's storage dtype
-    kv = jnp.stack([jnp.stack(pair, axis=0) for pair in zip(ks, vs)], axis=0)
+    _, (ks, vs) = jax.lax.scan(body, x, params["layers"])
+    # (L, M, PL, Hk, D) pair → (M, L, 2, PL, Hk, D) in the cache's storage dtype
+    kv = jnp.stack([ks, vs], axis=1)
     return jnp.transpose(kv, (2, 0, 1, 3, 4, 5)).astype(dtype)
 
 
@@ -293,7 +310,7 @@ def decode_step(
     """One token for every sequence in the batch. Returns ((B, V) f32 logits,
     updated cache)."""
     b = token.shape[0]
-    t_max = cache.k[0].shape[1]
+    t_max = cache.k.shape[2]
     inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
     n_real = jnp.sum(prompt_mask, axis=-1)          # (B,)
     positions = (n_real + step)[:, None]            # (B, 1)
@@ -309,26 +326,30 @@ def decode_step(
 
     x = embed_lookup(params, token[:, None], dtype)  # (B, 1, H)
 
-    new_k, new_v = [], []
-    for li, layer in enumerate(params["layers"]):
+    # layer scan: each step reads its (B, T, Hk, D) cache row from xs, writes
+    # the token's K/V at write_at, and emits the updated row as ys — XLA's
+    # while-loop buffer aliasing keeps the update in place
+    def body(x, xs_l):
+        layer, ck, cv = xs_l
         h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, cfg, h, b, 1)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        k_cache = jax.lax.dynamic_update_slice(
-            cache.k[li], k.astype(cache.k[li].dtype), (0, write_at, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(
-            cache.v[li], v.astype(cache.v[li].dtype), (0, write_at, 0, 0))
-        new_k.append(k_cache)
-        new_v.append(v_cache)
-        a = attention(q, k_cache.astype(dtype), v_cache.astype(dtype), bias)
+        ck = jax.lax.dynamic_update_slice(
+            ck, k.astype(ck.dtype), (0, write_at, 0, 0))
+        cv = jax.lax.dynamic_update_slice(
+            cv, v.astype(cv.dtype), (0, write_at, 0, 0))
+        a = attention(q, ck.astype(dtype), cv.astype(dtype), bias)
         a = a.reshape(b, 1, cfg.num_heads * cfg.head_dim)
         x = x + dense(a, layer["o_w"])
         h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
 
     logits = logits_from_hidden(params, cfg, x[:, 0, :])
-    return logits, KVCache(k=tuple(new_k), v=tuple(new_v))
+    return logits, KVCache(k=new_k, v=new_v)
 
 
 def sample_token(

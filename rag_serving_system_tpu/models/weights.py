@@ -43,7 +43,7 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -
     key = jax.random.PRNGKey(seed)
     keys = iter(jax.random.split(key, 16))
     h, ff, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
-    params = {
+    return {
         "embed": {
             "word": _trunc_normal(next(keys), (cfg.vocab_size, h), dtype=dtype),
             "pos": _trunc_normal(next(keys), (cfg.max_position_embeddings, h), dtype=dtype),
@@ -51,26 +51,24 @@ def init_encoder_params(cfg: EncoderConfig, seed: int = 0, dtype=jnp.bfloat16) -
             "ln_scale": jnp.ones((h,), dtype),
             "ln_bias": jnp.zeros((h,), dtype),
         },
-        "layers": [],
+        # layer weights STACKED on a leading L axis — the forward `lax.scan`s
+        # over them, so the XLA program contains ONE layer body instead of L
+        # unrolled copies (compile time; see models/qwen2.py module docstring)
+        "layers": {
+            "qkv_w": _stacked(next(keys), L, (h, 3 * h), dtype),
+            "qkv_b": jnp.zeros((L, 3 * h), dtype),
+            "o_w": _stacked(next(keys), L, (h, h), dtype),
+            "o_b": jnp.zeros((L, h), dtype),
+            "attn_ln_scale": jnp.ones((L, h), dtype),
+            "attn_ln_bias": jnp.zeros((L, h), dtype),
+            "ff_w1": _stacked(next(keys), L, (h, ff), dtype),
+            "ff_b1": jnp.zeros((L, ff), dtype),
+            "ff_w2": _stacked(next(keys), L, (ff, h), dtype),
+            "ff_b2": jnp.zeros((L, h), dtype),
+            "ff_ln_scale": jnp.ones((L, h), dtype),
+            "ff_ln_bias": jnp.zeros((L, h), dtype),
+        },
     }
-    stacks = {
-        "qkv_w": _stacked(next(keys), L, (h, 3 * h), dtype),
-        "o_w": _stacked(next(keys), L, (h, h), dtype),
-        "ff_w1": _stacked(next(keys), L, (h, ff), dtype),
-        "ff_w2": _stacked(next(keys), L, (ff, h), dtype),
-    }
-    for i in range(L):
-        params["layers"].append({
-            "qkv_w": stacks["qkv_w"][i], "qkv_b": jnp.zeros((3 * h,), dtype),
-            "o_w": stacks["o_w"][i], "o_b": jnp.zeros((h,), dtype),
-            "attn_ln_scale": jnp.ones((h,), dtype),
-            "attn_ln_bias": jnp.zeros((h,), dtype),
-            "ff_w1": stacks["ff_w1"][i], "ff_b1": jnp.zeros((ff,), dtype),
-            "ff_w2": stacks["ff_w2"][i], "ff_b2": jnp.zeros((h,), dtype),
-            "ff_ln_scale": jnp.ones((h,), dtype),
-            "ff_ln_bias": jnp.zeros((h,), dtype),
-        })
-    return params
 
 
 def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -> dict:
@@ -82,30 +80,30 @@ def init_decoder_params(cfg: DecoderConfig, seed: int = 1, dtype=jnp.bfloat16) -
     ff = cfg.intermediate_size
     params = {
         "embed": _trunc_normal(next(keys), (cfg.vocab_size, h), dtype=dtype),
-        "layers": [],
+        # stacked (L, ...) leaves — scanned over, not unrolled (see encoder)
+        "layers": {
+            "ln1": jnp.ones((L, h), dtype),
+            "qkv_w": _stacked(next(keys), L, (h, qd + 2 * kvd), dtype),
+            "o_w": _stacked(next(keys), L, (qd, h), dtype),
+            "ln2": jnp.ones((L, h), dtype),
+            "gu_w": _stacked(next(keys), L, (h, 2 * ff), dtype),
+            "down_w": _stacked(next(keys), L, (ff, h), dtype),
+        },
         "ln_f": jnp.ones((h,), dtype),
     }
+    if cfg.qkv_bias:
+        params["layers"]["qkv_b"] = jnp.zeros((L, qd + 2 * kvd), dtype)
     if not cfg.tie_word_embeddings:
         params["lm_head"] = _trunc_normal(next(keys), (h, cfg.vocab_size), dtype=dtype)
-    stacks = {
-        "qkv_w": _stacked(next(keys), L, (h, qd + 2 * kvd), dtype),
-        "o_w": _stacked(next(keys), L, (qd, h), dtype),
-        "gu_w": _stacked(next(keys), L, (h, 2 * ff), dtype),
-        "down_w": _stacked(next(keys), L, (ff, h), dtype),
-    }
-    for i in range(L):
-        layer = {
-            "ln1": jnp.ones((h,), dtype),
-            "qkv_w": stacks["qkv_w"][i],
-            "o_w": stacks["o_w"][i],
-            "ln2": jnp.ones((h,), dtype),
-            "gu_w": stacks["gu_w"][i],
-            "down_w": stacks["down_w"][i],
-        }
-        if cfg.qkv_bias:
-            layer["qkv_b"] = jnp.zeros((qd + 2 * kvd,), dtype)
-        params["layers"].append(layer)
     return params
+
+
+def stack_layer_dicts(layer_list: list[dict], dtype) -> dict:
+    """[{k: np (..)}, ...] per-layer dicts → {k: jnp (L, ...)} stacked.
+    One host-side np.stack + one host→device transfer per weight kind
+    (L transfers per kind would each pay the device-tunnel latency)."""
+    return {k: jnp.asarray(np.stack([l[k] for l in layer_list]), dtype=dtype)
+            for k in layer_list[0]}
 
 
 # ---------------------------------------------------------------------------
@@ -135,35 +133,29 @@ def _get(tensors: dict, *names: str) -> np.ndarray:
 
 
 def load_encoder_params(cfg: EncoderConfig, snapshot_dir: str, dtype=jnp.bfloat16) -> dict:
-    """XLM-RoBERTa HF naming → our pytree. Linear weights transposed to (in, out)."""
+    """XLM-RoBERTa HF naming → our pytree. Linear weights transposed to (in, out);
+    per-layer tensors stacked to the (L, ...) scan layout."""
     t = _load_safetensors_dir(snapshot_dir)
 
-    def W(name):  # HF (out, in) → (in, out)
-        return jnp.asarray(
-            _get(t, name, "roberta." + name, "bert." + name).T.copy(), dtype=dtype)
+    def W(name):  # HF (out, in) → (in, out); host-side np until the stack
+        return np.ascontiguousarray(
+            _get(t, name, "roberta." + name, "bert." + name).T)
 
     def A(name):
-        return jnp.asarray(_get(t, name, "roberta." + name, "bert." + name),
-                           dtype=dtype)
+        return _get(t, name, "roberta." + name, "bert." + name)
 
-    params = {
-        "embed": {
-            "word": A("embeddings.word_embeddings.weight"),
-            "pos": A("embeddings.position_embeddings.weight"),
-            "type": A("embeddings.token_type_embeddings.weight"),
-            "ln_scale": A("embeddings.LayerNorm.weight"),
-            "ln_bias": A("embeddings.LayerNorm.bias"),
-        },
-        "layers": [],
-    }
+    def J(name):
+        return jnp.asarray(A(name), dtype=dtype)
+
+    layer_list = []
     for i in range(cfg.num_layers):
         p = f"encoder.layer.{i}."
-        params["layers"].append({
-            "qkv_w": jnp.concatenate([
+        layer_list.append({
+            "qkv_w": np.concatenate([
                 W(p + "attention.self.query.weight"),
                 W(p + "attention.self.key.weight"),
                 W(p + "attention.self.value.weight")], axis=1),
-            "qkv_b": jnp.concatenate([
+            "qkv_b": np.concatenate([
                 A(p + "attention.self.query.bias"),
                 A(p + "attention.self.key.bias"),
                 A(p + "attention.self.value.bias")], axis=0),
@@ -178,47 +170,57 @@ def load_encoder_params(cfg: EncoderConfig, snapshot_dir: str, dtype=jnp.bfloat1
             "ff_ln_scale": A(p + "output.LayerNorm.weight"),
             "ff_ln_bias": A(p + "output.LayerNorm.bias"),
         })
-    return params
+    return {
+        "embed": {
+            "word": J("embeddings.word_embeddings.weight"),
+            "pos": J("embeddings.position_embeddings.weight"),
+            "type": J("embeddings.token_type_embeddings.weight"),
+            "ln_scale": J("embeddings.LayerNorm.weight"),
+            "ln_bias": J("embeddings.LayerNorm.bias"),
+        },
+        "layers": stack_layer_dicts(layer_list, dtype),
+    }
 
 
 def load_decoder_params(cfg: DecoderConfig, snapshot_dir: str, dtype=jnp.bfloat16) -> dict:
-    """Qwen2 HF naming → our pytree."""
+    """Qwen2 HF naming → our pytree (stacked (L, ...) scan layout)."""
     t = _load_safetensors_dir(snapshot_dir)
 
     def W(name):
-        return jnp.asarray(_get(t, name).T.copy(), dtype=dtype)
+        return np.ascontiguousarray(_get(t, name).T)
 
     def A(name):
-        return jnp.asarray(_get(t, name), dtype=dtype)
+        return _get(t, name)
 
-    params = {
-        "embed": A("model.embed_tokens.weight"),
-        "layers": [],
-        "ln_f": A("model.norm.weight"),
-    }
-    if "lm_head.weight" in t and not cfg.tie_word_embeddings:
-        params["lm_head"] = W("lm_head.weight")
+    layer_list = []
     for i in range(cfg.num_layers):
         p = f"model.layers.{i}."
         layer = {
             "ln1": A(p + "input_layernorm.weight"),
-            "qkv_w": jnp.concatenate([
+            "qkv_w": np.concatenate([
                 W(p + "self_attn.q_proj.weight"),
                 W(p + "self_attn.k_proj.weight"),
                 W(p + "self_attn.v_proj.weight")], axis=1),
             "o_w": W(p + "self_attn.o_proj.weight"),
             "ln2": A(p + "post_attention_layernorm.weight"),
-            "gu_w": jnp.concatenate([
+            "gu_w": np.concatenate([
                 W(p + "mlp.gate_proj.weight"),
                 W(p + "mlp.up_proj.weight")], axis=1),
             "down_w": W(p + "mlp.down_proj.weight"),
         }
         if cfg.qkv_bias:  # Qwen2 has QKV bias; Llama/Mistral do not
-            layer["qkv_b"] = jnp.concatenate([
+            layer["qkv_b"] = np.concatenate([
                 A(p + "self_attn.q_proj.bias"),
                 A(p + "self_attn.k_proj.bias"),
                 A(p + "self_attn.v_proj.bias")], axis=0)
-        params["layers"].append(layer)
+        layer_list.append(layer)
+    params = {
+        "embed": jnp.asarray(A("model.embed_tokens.weight"), dtype=dtype),
+        "layers": stack_layer_dicts(layer_list, dtype),
+        "ln_f": jnp.asarray(A("model.norm.weight"), dtype=dtype),
+    }
+    if "lm_head.weight" in t and not cfg.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(W("lm_head.weight"), dtype=dtype)
     return params
 
 

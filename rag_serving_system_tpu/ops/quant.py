@@ -142,6 +142,13 @@ def quantize_decoder_params(params: dict, bits: int = 8,
     quant_keys = {"qkv_w", "o_w", "gu_w", "down_w", "ff_w1", "ff_w2"}
 
     def quant_mat(w):
+        """(in, out) 2-D weight, or a STACKED (L, in, out) scan leaf — the
+        stacked case vmaps the same per-matrix scheme over the layer axis, so
+        the scan body slices out an identical QuantizedWeight(4) per layer."""
+        if w.ndim == 3:
+            if bits == 8 or w.shape[1] % 2:
+                return jax.vmap(quantize_int8)(w)
+            return jax.vmap(lambda m: quantize_int4(m, group=group))(w)
         if bits == 8 or w.shape[0] % 2:  # odd input dim can't nibble-pack
             return quantize_int8(w)
         return quantize_int4(w, group=group)
@@ -154,7 +161,7 @@ def quantize_decoder_params(params: dict, bits: int = 8,
                     out[k] = quantize_rows_int8(v)
                 elif k == "lm_head" and getattr(v, "ndim", 0) == 2:
                     out[k] = quantize_int8(v)
-                elif k in quant_keys and getattr(v, "ndim", 0) == 2:
+                elif k in quant_keys and getattr(v, "ndim", 0) in (2, 3):
                     out[k] = quant_mat(v)
                 else:
                     out[k] = walk(v)

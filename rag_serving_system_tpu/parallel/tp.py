@@ -18,66 +18,72 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-# key name → PartitionSpec for 2-D weights (None entries replicate).
+# key name → PartitionSpec for matmul weights (None entries replicate).
 # Fused tensors (qkv_w, gu_w) shard their output dim; GSPMD re-shards the
-# post-split activations as needed.
+# post-split activations as needed. Layer weights are STACKED on a leading
+# L axis (the scan layout, models/qwen2.py) — their specs get a leading None
+# (every device scans all layers; only head/ff dims shard).
 _COL = {"qkv_w", "ff_w1", "gu_w"}
 _ROW = {"o_w", "ff_w2", "down_w"}
 _COL_BIAS = {"qkv_b", "ff_b1"}
 
 
-def _spec_for(key: str, ndim: int) -> P:
-    if ndim == 2:
+def _spec_for(key: str, ndim: int, stacked: bool) -> P:
+    lead = (None,) if stacked else ()
+    if ndim - len(lead) == 2:
         if key in _COL:
-            return P(None, "model")
+            return P(*lead, None, "model")
         if key in _ROW:
-            return P("model", None)
-        return P(None, None)
-    if ndim == 1 and key in _COL_BIAS:
-        return P("model")
+            return P(*lead, "model", None)
+        return P(*([None] * ndim))
+    if ndim - len(lead) == 1 and key in _COL_BIAS:
+        return P(*lead, "model")
     return P(*([None] * ndim))
 
 
 def param_shardings(params, mesh: Mesh):
     """Map our encoder/decoder pytrees to NamedShardings by leaf key name.
     QuantizedWeight leaves shard their int8 matrix like the fp weight would
-    and their (1, out) scale along the same output axis."""
+    and their (…, 1, out) scale along the same output axis."""
+    from rag_serving_system_tpu.ops.quant import QuantizedWeight, QuantizedWeight4
 
-    def leaf_sharding(key, v):
-        if hasattr(v, "q") and v.q.ndim == 3:  # QuantizedWeight4 (G, g/2, out)
-            from rag_serving_system_tpu.ops.quant import QuantizedWeight4
-
+    def leaf_sharding(key, v, stacked):
+        lead = (None,) if stacked else ()
+        if isinstance(v, QuantizedWeight4):  # q (…, G, g/2, out) packed int4
             n_model = mesh.shape.get("model", 1)
+            g_ax, p_ax = len(lead), len(lead) + 1  # group / packed axes
             if key in _COL:      # shard output dim
-                w_spec, s_spec = P(None, None, "model"), P(None, None, "model")
-            elif key in _ROW and v.q.shape[0] % n_model == 0:
+                w_spec = s_spec = P(*lead, None, None, "model")
+            elif key in _ROW and v.q.shape[g_ax] % n_model == 0:
                 # input dim sharded on the group axis; per-group scales follow
-                w_spec, s_spec = P("model", None, None), P("model", None, None)
-            elif key in _ROW and v.q.shape[1] % n_model == 0:
+                w_spec = s_spec = P(*lead, "model", None, None)
+            elif key in _ROW and v.q.shape[p_ax] % n_model == 0:
                 # few groups (small models / large group size): shard the
                 # packed within-group axis instead — GSPMD still psums the
                 # contraction; scales are per-group so they replicate
-                w_spec, s_spec = P(None, "model", None), P(None, None, None)
+                w_spec = P(*lead, None, "model", None)
+                s_spec = P(*([None] * v.scale.ndim))
             else:
-                w_spec = s_spec = P(None, None, None)
+                w_spec = P(*([None] * v.q.ndim))
+                s_spec = P(*([None] * v.scale.ndim))
             return QuantizedWeight4(q=NamedSharding(mesh, w_spec),
                                     scale=NamedSharding(mesh, s_spec))
-        if hasattr(v, "q"):  # ops.quant.QuantizedWeight
-            from rag_serving_system_tpu.ops.quant import QuantizedWeight
-
-            w_spec = _spec_for(key, 2)
-            s_spec = P(None, w_spec[1]) if key in _COL else P(None, None)
+        if isinstance(v, QuantizedWeight):
+            w_spec = _spec_for(key, v.q.ndim, stacked)
+            s_spec = (P(*lead, None, "model") if key in _COL
+                      else P(*([None] * v.scale.ndim)))
             return QuantizedWeight(q=NamedSharding(mesh, w_spec),
                                    scale=NamedSharding(mesh, s_spec))
-        return NamedSharding(mesh, _spec_for(key, v.ndim))
+        return NamedSharding(mesh, _spec_for(key, v.ndim, stacked))
 
-    def walk(tree):
+    def walk(tree, stacked=False):
         if isinstance(tree, dict):
-            return {k: (leaf_sharding(k, v)
-                        if not isinstance(v, (dict, list)) else walk(v))
+            return {k: (walk(v, stacked or k == "layers")
+                        if isinstance(v, (dict, list))
+                        else leaf_sharding(k, v, stacked))
                     for k, v in tree.items()}
         if isinstance(tree, list):
-            return [walk(v) for v in tree]
+            return [walk(v, stacked) for v in tree]
         return NamedSharding(mesh, P(*([None] * tree.ndim)))
 
     return walk(params)

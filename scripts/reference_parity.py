@@ -61,7 +61,9 @@ def run_parity(ref_data: str, n_queries: int = 128, k: int = 5,
     from rag_serving_system_tpu.ops.topk import (
         cosine_topk_pallas, cosine_topk_reference)
 
-    corpus = np.load(os.path.join(ref_data, "squad_embeddings.npy"))
+    pref = ("squad_real" if os.path.exists(
+        os.path.join(ref_data, "squad_real_embeddings.npy")) else "squad")
+    corpus = np.load(os.path.join(ref_data, pref + "_embeddings.npy"))
     assert corpus.shape[1] == 1024, corpus.shape
     n = corpus.shape[0]
     on_tpu = jax.default_backend() == "tpu"
@@ -122,11 +124,19 @@ def run_parity(ref_data: str, n_queries: int = 128, k: int = 5,
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--ref-data", default="/root/reference/data")
+    repo_data = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "data")
+    # repo-local import of the genuine SQuAD artifacts (data/README.md)
+    # preferred; a reference checkout works too
+    default_data = (repo_data if os.path.exists(
+        os.path.join(repo_data, "squad_real_embeddings.npy"))
+        else "/root/reference/data")
+    p.add_argument("--ref-data", default=default_data)
     p.add_argument("--n-queries", type=int, default=128)
     p.add_argument("--k", type=int, default=5)
     args = p.parse_args()
-    if not os.path.exists(os.path.join(args.ref_data, "squad_embeddings.npy")):
+    if not any(os.path.exists(os.path.join(args.ref_data, f))
+               for f in ("squad_real_embeddings.npy", "squad_embeddings.npy")):
         print(json.dumps({"skipped": f"no reference data at {args.ref_data}"}))
         return
     report = run_parity(args.ref_data, n_queries=args.n_queries, k=args.k)

@@ -276,7 +276,7 @@ def test_llama_decoder_greedy_matches_hf(tmp_path_factory):
     cfg = decoder_config_from_hf(_json.load(open(f"{d}/config.json")))
     assert not cfg.qkv_bias and cfg.num_kv_heads == 2 and cfg.head_dim == 16
     params = load_decoder_params(cfg, str(d), dtype=jnp.float32)
-    assert "qkv_b" not in params["layers"][0]
+    assert "qkv_b" not in params["layers"]
 
     ids = np.array([[0, 0, 7, 23, 99, 45],
                     [101, 3, 88, 12, 9, 77]], dtype=np.int32)

@@ -40,7 +40,7 @@ def test_dense_accepts_quantized(rng):
 def test_quantize_decoder_params_structure():
     params = init_decoder_params(QWEN2_TINY, dtype=jnp.float32)
     qparams = quantize_decoder_params(params)
-    layer = qparams["layers"][0]
+    layer = jax.tree.map(lambda a: a[0], qparams["layers"])  # slice layer 0
     for key in ("qkv_w", "o_w", "gu_w", "down_w"):
         assert isinstance(layer[key], QuantizedWeight), key
     # norms/biases untouched; embed quantized per-row (tied LM head)
@@ -190,7 +190,7 @@ def test_quantize_decoder_params_int4_structure():
 
     params = init_decoder_params(QWEN2_TINY, dtype=jnp.float32)
     qparams = quantize_decoder_params(params, bits=4)
-    layer = qparams["layers"][0]
+    layer = jax.tree.map(lambda a: a[0], qparams["layers"])  # slice layer 0
     for key in ("qkv_w", "o_w", "gu_w", "down_w"):
         assert isinstance(layer[key], QuantizedWeight4), key
         assert layer[key].q.dtype == jnp.int8 and layer[key].q.ndim == 3

@@ -67,12 +67,12 @@ def test_encoder_loader_mapping(enc_ckpt):
     snap, t = enc_ckpt
     params = load_encoder_params(E5_TINY, snap, dtype=jnp.float32)
     # transpose check: our (in, out) == HF (out, in).T
-    got = np.asarray(params["layers"][0]["ff_w1"])
+    got = np.asarray(params["layers"]["ff_w1"][0])
     want = t["encoder.layer.0.intermediate.dense.weight"].T
     np.testing.assert_allclose(got, want, rtol=1e-6)
     # qkv fusion order: [q | k | v] along the output axis
     h = E5_TINY.hidden_size
-    qkv = np.asarray(params["layers"][0]["qkv_w"])
+    qkv = np.asarray(params["layers"]["qkv_w"][0])
     np.testing.assert_allclose(
         qkv[:, :h], t["encoder.layer.0.attention.self.query.weight"].T, rtol=1e-6)
     np.testing.assert_allclose(
@@ -133,12 +133,12 @@ def test_decoder_loader_mapping_and_forward(dec_ckpt):
     params = load_decoder_params(cfg, snap, dtype=jnp.float32)
     qd = cfg.num_heads * cfg.head_dim
     kvd = cfg.num_kv_heads * cfg.head_dim
-    qkv = np.asarray(params["layers"][0]["qkv_w"])
+    qkv = np.asarray(params["layers"]["qkv_w"][0])
     np.testing.assert_allclose(
         qkv[:, :qd], t["model.layers.0.self_attn.q_proj.weight"].T, rtol=1e-6)
     np.testing.assert_allclose(
         qkv[:, qd:qd + kvd], t["model.layers.0.self_attn.k_proj.weight"].T, rtol=1e-6)
-    gu = np.asarray(params["layers"][0]["gu_w"])
+    gu = np.asarray(params["layers"]["gu_w"][0])
     np.testing.assert_allclose(
         gu[:, :cfg.intermediate_size], t["model.layers.0.mlp.gate_proj.weight"].T,
         rtol=1e-6)
