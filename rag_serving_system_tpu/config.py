@@ -95,6 +95,18 @@ class Settings:
     # HBM budget for the prefix cache (LRU beyond this)
     prefix_cache_mb: int = field(
         default_factory=lambda: int(_env("PREFIX_CACHE_MB", "2048")))
+    # adaptive thrash bypass: when the rolling hit rate over the last
+    # PREFIX_ADAPTIVE_WINDOW lookups falls below PREFIX_ADAPTIVE_LOW, skip
+    # the prefix path for all but every PREFIX_PROBE_EVERY-th batch (probes
+    # re-engage the cache automatically when the workload becomes cacheable)
+    prefix_adaptive: bool = field(
+        default_factory=lambda: _env("PREFIX_ADAPTIVE", "1").lower() not in ("0", "false"))
+    prefix_adaptive_window: int = field(
+        default_factory=lambda: int(_env("PREFIX_ADAPTIVE_WINDOW", "512")))
+    prefix_adaptive_low: float = field(
+        default_factory=lambda: float(_env("PREFIX_ADAPTIVE_LOW", "0.25")))
+    prefix_probe_every: int = field(
+        default_factory=lambda: int(_env("PREFIX_PROBE_EVERY", "8")))
     # entry storage: 'compute' (engine dtype — bit-exact reuse) | 'int8'
     # (half the HBM per entry → ~2x capacity; standard KV quantization,
     # not bit-exact)

@@ -252,6 +252,10 @@ class RagEngine:
                 pool_sharding = NamedSharding(mesh, spec)
             self.prefix_cache = PrefixKVCache(
                 sharding=pool_sharding,
+                adaptive=settings.prefix_adaptive,
+                window=settings.prefix_adaptive_window,
+                low_hit_rate=settings.prefix_adaptive_low,
+                probe_every=settings.prefix_probe_every,
                 pool_len=pool_len,
                 entry_bytes=entry_bytes,
                 budget_mb=settings.prefix_cache_mb,
@@ -392,8 +396,14 @@ class RagEngine:
         rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
 
         metas = None
-        if self.prefix_cache is not None and any(
-                getattr(p, "cache_key", None) is not None for p in prompts):
+        if (self.prefix_cache is not None
+                and any(getattr(p, "cache_key", None) is not None
+                        for p in prompts)
+                and self.prefix_cache.should_attempt()):
+            # should_attempt: adaptive thrash gate — when the rolling hit
+            # rate collapses (working set > capacity, cyclic access), most
+            # batches run the plain full-prefill trace; periodic probe
+            # batches keep the cache ready to re-engage
             pool_len = self.prefix_cache.pool_len
             max_cov = pool_len + self.settings.prompt_len_buckets[-1]
             metas, suffix_rows = [], []

@@ -38,7 +38,7 @@ scatter reads the old slot contents.
 from __future__ import annotations
 
 import threading
-from collections import OrderedDict
+from collections import OrderedDict, deque
 from dataclasses import dataclass
 from typing import Hashable, Optional, Tuple
 
@@ -114,7 +114,9 @@ class PrefixKVCache:
     def __init__(self, pool_len: int, entry_bytes: int, budget_mb: int = 2048,
                  min_tokens: int = 16, entry_shape: tuple | None = None,
                  dtype=None, int8: bool = False, min_slots: int = 0,
-                 initial_slots: int = 16, sharding=None):
+                 initial_slots: int = 16, sharding=None,
+                 adaptive: bool = True, window: int = 512,
+                 low_hit_rate: float = 0.25, probe_every: int = 8):
         import os
 
         self.pool_len = int(pool_len)
@@ -143,6 +145,21 @@ class PrefixKVCache:
         self.misses = 0
         self.bypassed = 0  # rows that skipped the prefix path entirely
         self.grows = 0
+        # ---- adaptive thrash bypass ----
+        # A thrashing workload (cyclic access over a working set > capacity)
+        # pays the miss path — compute_prefix_kv + scatter/gather + the
+        # suffix-split prefill — for near-zero reuse. A rolling hit-rate
+        # window detects that regime and the engine then SKIPS the prefix
+        # path for most batches, probing every `probe_every`-th batch so the
+        # cache re-engages as soon as the workload becomes cacheable again.
+        self.adaptive = adaptive
+        self._window = int(window)
+        self._win_hits: "deque[bool]" = deque(maxlen=self._window)
+        self._low_hit_rate = float(low_hit_rate)
+        self._probe_every = max(2, int(probe_every))
+        self._batch_no = 0
+        self.bypass_mode = False
+        self.probes = 0
         self.zero_slot = self.ZERO       # permanent all-zeros row
         self.scratch_slot = self.SCRATCH  # scatter target for pad rows
         self._pool = self._pool_scale = None
@@ -208,9 +225,32 @@ class PrefixKVCache:
             if e is not None and e.tokens == tokens:
                 self._entries.move_to_end(key)
                 self.hits += 1
+                self._win_hits.append(True)
                 return e
             self.misses += 1
+            self._win_hits.append(False)
             return None
+
+    def should_attempt(self) -> bool:
+        """Per-BATCH adaptive gate, called by the engine before splitting
+        prompts at the prefix boundary. Returns False when the rolling hit
+        rate says the workload is thrashing — except on probe batches, which
+        keep exercising the cache so recovery is automatic. Never flips to
+        bypass until the window has filled once (cold-start misses are
+        warming, not thrash)."""
+        if not self.adaptive:
+            return True
+        with self._lock:
+            self._batch_no += 1
+            if len(self._win_hits) >= self._window:
+                rate = sum(self._win_hits) / len(self._win_hits)
+                self.bypass_mode = rate < self._low_hit_rate
+            if not self.bypass_mode:
+                return True
+            if self._batch_no % self._probe_every == 0:
+                self.probes += 1
+                return True
+            return False
 
     def _alloc_slot_locked(self, protected: set) -> int:
         if self._free:
@@ -328,6 +368,10 @@ class PrefixKVCache:
                 "misses": self.misses,
                 "bypassed": self.bypassed,
                 "hit_rate": (self.hits / lookups) if lookups else 0.0,
+                "rolling_hit_rate": (sum(self._win_hits) / len(self._win_hits)
+                                     if self._win_hits else None),
+                "bypass_mode": self.bypass_mode,
+                "probes": self.probes,
             }
 
 

@@ -343,3 +343,83 @@ def test_engine_clamps_cache_capacity_to_batch_headroom():
     queries = [f"what about topic {i}?" for i in range(4)]
     results = eng.process(queries, [2] * 4)
     assert len(results) == 4 and all("result" in r for r in results)
+
+
+def test_lazy_pool_growth_preserves_slots_and_grows_to_capacity():
+    """The pool starts small (initial_slots), doubles on demand, and live
+    slot indices stay valid across growth (zero/scratch rows are pinned at
+    0/1). LRU eviction only begins at full capacity."""
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 10, budget_mb=1,
+                          entry_shape=(2, 2, 8, 2, 4), dtype=jnp.float32,
+                          initial_slots=2, min_slots=0)
+    assert cache.capacity > 4 and cache.n_slots == 2
+    rows0 = cache._pool.shape[0]
+    kv = jnp.ones((1, 2, 2, 8, 2, 4), jnp.float32)
+    first = cache.put_batch([("k", 0)], [(1, 2)], kv)[("k", 0)]
+    for i in range(1, 5):  # force two doublings
+        cache.put_batch([("k", i)], [(1, 2)], kv * (i + 1))
+    assert cache.grows >= 1 and cache._pool.shape[0] > rows0
+    st = cache.stats()
+    assert st["slots"] >= 5
+    assert st["pool_reserved_bytes"] == (cache.n_slots + 2) * cache.entry_bytes
+    # entry inserted BEFORE growth still reads back intact after growth
+    g = np.asarray(cache.gather([first.slot, cache.zero_slot]))
+    assert (g[0] == 1.0).all() and (g[1] == 0.0).all()
+    # misses so far; no eviction yet below capacity
+    assert len(cache) == 5
+
+
+def test_adaptive_bypass_engages_on_thrash_and_recovers():
+    """Cyclic access over a working set >> capacity must flip the cache into
+    bypass mode (only probe batches attempt the prefix path); a cacheable
+    workload must bring it back."""
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 20, budget_mb=4,
+                          entry_shape=(2, 2, 8, 2, 4), dtype=jnp.float32,
+                          adaptive=True, window=64, low_hit_rate=0.25,
+                          probe_every=4, min_slots=0)
+    cap = cache.capacity
+    assert cap < 32
+
+    # thrash: every lookup a distinct never-repeating key
+    k = 0
+    attempts = 0
+    for batch in range(64):
+        if cache.should_attempt():
+            attempts += 1
+            for _ in range(8):
+                assert cache.get(("c", k), (k,)) is None
+                cache.put_batch([("c", k)], [(k,)],
+                                jnp.zeros((1, 2, 2, 8, 2, 4), jnp.float32))
+                k += 1
+    st = cache.stats()
+    assert st["bypass_mode"] is True
+    assert st["probes"] > 0
+    # most batches were skipped once the window filled
+    assert attempts < 40, attempts
+
+    # cacheable phase: the same few keys repeat; probes hit, window refills,
+    # bypass lifts
+    keys = [("h", i) for i in range(4)]
+    for key in keys:  # seed entries via a probe-independent insert
+        cache.put_batch([key], [(0,)],
+                        jnp.zeros((1, 2, 2, 8, 2, 4), jnp.float32))
+    recovered = False
+    for batch in range(200):
+        if cache.should_attempt():
+            for key in keys * 4:
+                cache.get(key, (0,))
+        if not cache.bypass_mode:
+            recovered = True
+            break
+    assert recovered, cache.stats()
+
+
+def test_adaptive_bypass_never_fires_during_warmup_misses():
+    """Cold-start misses must not flip bypass before the window fills once."""
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 10, budget_mb=64,
+                          entry_shape=(2, 2, 8, 2, 4), dtype=jnp.float32,
+                          adaptive=True, window=256, min_slots=0)
+    for i in range(100):  # 100 < window: all misses, still warming
+        assert cache.should_attempt() is True
+        cache.get(("w", i), (i,))
+    assert cache.bypass_mode is False

@@ -139,3 +139,37 @@ def test_sharded_engine_with_quantized_weights(qw):
     engine = RagEngine(settings, docs, emb, mesh=make_mesh("4,2"))
     results = engine.process(["what is doc 3?", "doc 7?"], [2, 2])
     assert len(results) == 2 and all("result" in r for r in results)
+
+
+def test_sharded_prefix_cache_value_parity():
+    """The prefix-KV cache now runs UNDER THE MESH (TP-sharded value pool,
+    core/prefix_cache.py): greedy output with the sharded cache — miss pass
+    AND hit pass — must equal the single-device engine's, and the cache must
+    actually have engaged (entries + hits), not silently bypassed."""
+    from rag_serving_system_tpu.config import Settings
+
+    rng = np.random.default_rng(5)
+    # long docs so the context prefix clears min_tokens and lands in the pool
+    docs = [f"Document {i}. " + " ".join(f"d{i}w{j}" for j in range(24))
+            for i in range(32)]
+    emb = rng.standard_normal((32, 64)).astype(np.float32)
+    settings = Settings(model_preset="tiny", dtype="float32",
+                        batch_buckets=[2], max_batch_size=2,
+                        encode_len_buckets=[16], prompt_len_buckets=[64],
+                        max_new_tokens=3, max_k=4, do_sample=False,
+                        prefix_pool_len=48)
+    queries = ["what is document 7 about?", "document 13?"]
+    mesh_engine = RagEngine(settings, docs, emb, mesh=make_mesh("4,2"))
+    single = RagEngine(settings, docs, emb)
+    assert mesh_engine.prefix_cache is not None, "cache off under mesh"
+    r_single = single.process(queries, [2, 2])
+    r_miss = mesh_engine.process(queries, [2, 2])   # cold: insert path
+    r_hit = mesh_engine.process(queries, [2, 2])    # warm: gather-hit path
+    assert r_miss == r_single and r_hit == r_single
+    st = mesh_engine.prefix_cache.stats()
+    assert st["entries"] > 0 and st["hits"] > 0, st
+    # the pool really is sharded over the mesh (not replicated):
+    pool = mesh_engine.prefix_cache._pool
+    assert len(pool.sharding.device_set) == 8
+    shard_bytes = pool.addressable_shards[0].data.nbytes
+    assert shard_bytes * 2 <= pool.nbytes, (shard_bytes, pool.nbytes)
