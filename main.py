@@ -20,24 +20,48 @@ logging.basicConfig(
 logger = logging.getLogger("main")
 
 
-def build_app(settings=None, warmup: bool = True):
-    """Build (app, processor, engine) — separated from main() for tests."""
+def build_app(settings=None, warmup: bool = True, role: str = "all"):
+    """Build (app, processor, engine) — separated from main() for tests.
+
+    `role` splits the service across PROCESSES for multi-core hosts (the
+    GIL binds one process's HTTP parsing + queue work + host staging to one
+    core; reference replicas sidestep this by duplicating the whole model):
+      - "all"    — API + engine in one process (the reference's layout)
+      - "api"    — HTTP front only: accepts requests into the shared Redis
+                   queue and serves result polls; NO jax, NO model. Run N of
+                   these with REUSE_PORT=1 behind one port.
+      - "engine" — queue consumer only: owns the TPU, drains the Redis
+                   queue, stores results. No HTTP surface.
+    api/engine roles require REDIS_URL (the queue is the IPC boundary —
+    same wire contract the reference's multi-replica deployment uses)."""
     from rag_serving_system_tpu.config import get_settings
-    from rag_serving_system_tpu.core.engine import RagEngine
-    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
     from rag_serving_system_tpu.core.request_queue import make_queue
     from rag_serving_system_tpu.api.endpoints import create_api
-    from rag_serving_system_tpu.parallel.mesh import make_mesh
 
     import os
+
+    settings = settings or get_settings()
+    if role == "api":
+        if not settings.redis_url:
+            raise SystemExit("ROLE=api requires REDIS_URL (shared queue)")
+        request_queue = make_queue(settings)
+        logger.info("role=api: queue backend %s, no engine in-process",
+                    type(request_queue).__name__)
+        app = create_api(request_queue, None, None,
+                         max_queue_size=int(os.environ.get("MAX_QUEUE_SIZE", "0")))
+        return app, None, None, settings
+    if role == "engine" and not settings.redis_url:
+        raise SystemExit("ROLE=engine requires REDIS_URL (shared queue)")
+
+    from rag_serving_system_tpu.core.engine import RagEngine
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+    from rag_serving_system_tpu.parallel.mesh import make_mesh
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    settings = settings or get_settings()
 
     if settings.platform:
         # must run before any backend is initialized; wins over plugin
@@ -77,25 +101,46 @@ def build_app(settings=None, warmup: bool = True):
                                polling_interval=min(settings.polling_interval, 0.05))
     processor.start()
 
+    if role == "engine":
+        logger.info("role=engine: consuming the shared queue, no HTTP surface")
+        return None, processor, engine, settings
+
     app = create_api(request_queue, processor, engine,
                      max_queue_size=int(os.environ.get("MAX_QUEUE_SIZE", "0")))
     return app, processor, engine, settings
 
 
 def main():
+    import signal
+    import threading
+
     from rag_serving_system_tpu.api.endpoints import run_app
 
-    app, processor, _, settings = build_app()
+    role = os.environ.get("ROLE", "all")
+    app, processor, _, settings = build_app(role=role)
+    if role == "engine":
+        # headless queue consumer: block until SIGTERM/SIGINT, then drain
+        stop = threading.Event()
+        signal.signal(signal.SIGTERM, lambda *_: stop.set())
+        signal.signal(signal.SIGINT, lambda *_: stop.set())
+        try:
+            stop.wait()
+        finally:
+            logger.info("draining in-flight work before exit...")
+            processor.stop(drain_timeout=float(os.environ.get("DRAIN_TIMEOUT", "30")))
+        return
     try:
         # aiohttp's run_app handles SIGTERM/SIGINT itself and returns
-        run_app(app, host=settings.host, port=settings.port)
+        run_app(app, host=settings.host, port=settings.port,
+                reuse_port=os.environ.get("REUSE_PORT", "0") in ("1", "true"))
     finally:
-        # K8s sends SIGTERM before killing the pod: drain the in-flight
-        # batch (plus one prefetched batch) so accepted requests get their
-        # results delivered before exit. Requests still in the queue
-        # survive in Redis for the replacement replica.
-        logger.info("draining in-flight work before exit...")
-        processor.stop(drain_timeout=float(os.environ.get("DRAIN_TIMEOUT", "30")))
+        if processor is not None:
+            # K8s sends SIGTERM before killing the pod: drain the in-flight
+            # batch (plus one prefetched batch) so accepted requests get
+            # their results delivered before exit. Requests still in the
+            # queue survive in Redis for the replacement replica.
+            logger.info("draining in-flight work before exit...")
+            processor.stop(drain_timeout=float(os.environ.get("DRAIN_TIMEOUT", "30")))
 
 
 if __name__ == "__main__":

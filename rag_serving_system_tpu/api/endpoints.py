@@ -146,18 +146,21 @@ def create_api(request_queue, processor=None, engine=None,
 
 
 def run_app(app: web.Application, host: str, port: int,
-            access_log: bool = False) -> None:
+            access_log: bool = False, reuse_port: bool = False) -> None:
     """Blocking server run (uvicorn.run equivalent, reference main.py:72-76).
 
     Per-request access logging is off by default: at saturation (hundreds of
     req/s plus result polls) the logger itself becomes measurable overhead.
-    Enable with access_log=True / ACCESS_LOG=1."""
+    Enable with access_log=True / ACCESS_LOG=1.
+
+    `reuse_port` (SO_REUSEPORT) lets N ROLE=api worker processes share one
+    port — the kernel load-balances accepted connections across them."""
     import os
 
+    kw = dict(print=None, reuse_port=reuse_port or None)
     if not access_log and os.environ.get("ACCESS_LOG", "0") not in ("1", "true"):
-        web.run_app(app, host=host, port=port, print=None, access_log=None)
-    else:
-        web.run_app(app, host=host, port=port, print=None)
+        kw["access_log"] = None
+    web.run_app(app, host=host, port=port, **kw)
 
 
 class ServerThread:

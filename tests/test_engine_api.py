@@ -291,3 +291,67 @@ def test_warmup_full_covers_full_prompt_buckets(monkeypatch):
     long_prompt = " ".join(f"w{i}" for i in range(120))  # → 128 bucket
     out = engine.generate_answers([long_prompt, long_prompt])
     assert len(out) == 2
+
+
+def test_role_split_api_and_engine_processes(tmp_path):
+    """ROLE=api / ROLE=engine split one service across processes over the
+    shared queue (main.py): the api role serves HTTP with NO engine in
+    process; the engine role consumes the queue with NO HTTP. Wire both to
+    one (stubbed-Redis-equivalent) queue and run a request through."""
+    import json
+
+    import main as main_mod
+    from rag_serving_system_tpu.core import request_queue as rq_mod
+
+    # tiny corpus files for the engine role (which loads from settings paths)
+    rng = np.random.default_rng(0)
+    docs = [f"Fact {i}: item {i} equals {i + 1}." for i in range(16)]
+    emb = rng.standard_normal((16, 64)).astype(np.float32)
+    ctx = tmp_path / "ctx.json"
+    ctx.write_text(json.dumps(docs))
+    npy = tmp_path / "emb.npy"
+    np.save(npy, emb)
+
+    shared = RequestQueue(max_batch_size=2, max_wait_time=0.1,
+                          polling_interval=0.01)
+    orig = rq_mod.make_queue
+    rq_mod.make_queue = lambda settings: shared
+    try:
+        s = tiny_settings(redis_url="redis://stub:6379",
+                          document_text_file=str(ctx),
+                          document_embeddings_file=str(npy))
+        # api front: no engine, no processor, no jax
+        app, proc, eng, _ = main_mod.build_app(settings=s, role="api")
+        assert proc is None and eng is None
+        # engine back: processor running, no app
+        app2, proc2, eng2, _ = main_mod.build_app(settings=s, warmup=False,
+                                                  role="engine")
+        assert app2 is None and proc2 is not None and eng2 is not None
+
+        srv = ServerThread(app).start()
+        try:
+            client = _Client(srv.url)
+            rid = client.post("/rag", json={"query": "what is item 3?",
+                                            "k": 2}).json()["request_id"]
+            out = None
+            for _ in range(400):
+                res = client.get(f"/rag/result/{rid}").json()
+                if res["status"] == "complete":
+                    out = res
+                    break
+                time.sleep(0.05)
+            assert out is not None and "result" in out["result"]
+        finally:
+            srv.stop()
+            proc2.stop()
+    finally:
+        rq_mod.make_queue = orig
+
+
+def test_role_api_requires_redis():
+    import main as main_mod
+
+    s = tiny_settings()
+    assert s.redis_url is None
+    with pytest.raises(SystemExit):
+        main_mod.build_app(settings=s, role="api")
