@@ -162,3 +162,57 @@ def test_hf_tokenizer_left_pad_and_truncate(snapshots):
     # row 1 short: left-padded with the real pad id
     assert ids[1, 0] == tok.pad_id and mask[1, 0] == 0
     assert mask[1, -1] == 1
+
+
+def test_bringup_runbook_offline(snapshots, tmp_path):
+    """scripts/bringup_real_weights.py — the full-size field procedure for
+    taking downloaded HF snapshots to a verified serving engine — must run
+    end-to-end against the tiny in-test checkpoints: weight loading, the
+    reference-recipe embedding-parity check (torch-built 'reference'
+    embeddings), recall, and a live generate batch."""
+    import json
+    import subprocess
+    import sys
+
+    root, enc_dir, dec_dir = snapshots
+
+    # 'reference' embeddings: torch forward with the reference's exact recipe
+    # (passage: prefix, per-batch padding, UNMASKED mean, L2 norm)
+    from transformers import AutoModel, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(enc_dir)
+    model = AutoModel.from_pretrained(enc_dir).eval()
+    enc = tok(["passage: " + d for d in DOCS], padding=True, truncation=True,
+              max_length=512, return_tensors="pt")
+    with torch.no_grad():
+        emb = model(**enc).last_hidden_state.mean(dim=1)
+    emb = torch.nn.functional.normalize(emb, p=2, dim=1).numpy()
+
+    ctx = tmp_path / "ctx.json"
+    ctx.write_text(json.dumps(DOCS))
+    npy = tmp_path / "emb.npy"
+    np.save(npy, emb)
+    qs = tmp_path / "q.json"
+    qs.write_text(json.dumps(
+        [f"what is the answer to question {i}?" for i in range(len(DOCS))]))
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", COMPUTE_DTYPE="float32",
+               EMBED_MODEL_NAME=enc_dir, LLM_MODEL_NAME=dec_dir,
+               TRANSFORMERS_OFFLINE="1", HF_HUB_OFFLINE="1")
+    out = subprocess.run(
+        [sys.executable, "scripts/bringup_real_weights.py",
+         "--weights-dir", root, "--contexts", str(ctx),
+         "--embeddings", str(npy), "--queries", str(qs),
+         "--n-docs", "24", "--k", "4",
+         # tiny random-ish encoder: own-context recall is weak (measured
+         # ~0.17 vs the real e5's ~1.0); the offline test checks the
+         # MACHINERY, the default 0.9 threshold bites at full size
+         "--recall-min", "0.1"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env)
+    assert out.returncode == 0, out.stdout + out.stderr
+    report = json.loads(out.stdout.strip().splitlines()[-1])
+    assert report["pass"] is True
+    assert report["embedding_parity"] is True  # cos > 0.999 vs torch
+    assert report["generate_ok"] is True
