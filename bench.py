@@ -175,6 +175,22 @@ def main() -> None:
     warm = time.time() - t0
     print(f"[bench] warm batch (engine serial) {warm:.3f}s", file=sys.stderr)
 
+    # on-device proxy (VERDICT r2 #10): CHAINED generate dispatches with one
+    # host sync — excludes queue/HTTP/host-staging and, crucially, the axon
+    # tunnel's per-sync ~26 ms and its ±15% cross-session drift, so
+    # round-over-round comparisons have a stable device-side anchor
+    staged = engine.stage_prompts(engine.prepare(queries, ks))
+    reps = 8
+    handle = engine.generate_tokens(staged=staged)
+    engine.finalize_tokens(handle)  # sync
+    t0 = time.time()
+    for _ in range(reps):
+        handle = engine.generate_tokens(staged=staged)
+    engine.finalize_tokens(handle)
+    proxy_ms = (time.time() - t0) / reps * 1e3
+    print(f"[bench] device proxy (chained generate) {proxy_ms:.1f} ms/batch",
+          file=sys.stderr)
+
     # measure through the real serving loop: queue -> pipelined BatchProcessor
     # (stage-1 embed/retrieve/prompt-build overlaps stage-2 generation)
     from rag_serving_system_tpu.core.batch_processor import BatchProcessor
@@ -205,6 +221,9 @@ def main() -> None:
         "unit": "req/s",
         # tiny mode is a CI smoke run of toy models — not baseline-comparable
         "vs_baseline": round(rps / BASELINE_RPS, 2) if mode != "tiny" else None,
+        # stable device-side anchor for cross-session comparisons (the
+        # wall-clock rps drifts ±15% with tunnel latency; this doesn't)
+        "device_proxy_ms_per_batch": round(proxy_ms, 1),
     }
     if engine.prefix_cache is not None:
         # the workload reuses `batch` distinct queries, so steady-state hit
