@@ -4,9 +4,10 @@ FROM python:3.12-slim
 
 WORKDIR /app
 
-RUN pip install --no-cache-dir \
-    "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
-    aiohttp pydantic prometheus-client redis numpy transformers safetensors
+COPY requirements.txt ./
+RUN pip install --no-cache-dir -r requirements.txt \
+    && pip install --no-cache-dir \
+    "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
 
 COPY rag_serving_system_tpu/ rag_serving_system_tpu/
 COPY main.py bench.py ./

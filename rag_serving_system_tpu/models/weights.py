@@ -30,7 +30,12 @@ from rag_serving_system_tpu.models.configs import DecoderConfig, EncoderConfig
 # ---------------------------------------------------------------------------
 
 def _trunc_normal(key, shape, std=0.02, dtype=jnp.float32):
-    return (jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32) * std).astype(dtype)
+    """Plain normal clipped to ±2σ — same distribution family/scale as HF's
+    trunc_normal init. jax.random.truncated_normal's rejection-free inverse-CDF
+    lowering compiles to a much bigger program (erfinv chains); for benchmark
+    weights only the SHAPES/dtypes matter, and clip is compile-cheap."""
+    x = jax.random.normal(key, shape, jnp.float32)
+    return (jnp.clip(x, -2.0, 2.0) * std).astype(dtype)
 
 
 def _stacked(key, n_layers, shape, dtype):
