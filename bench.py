@@ -147,24 +147,18 @@ def main() -> None:
                    for i in range(batch)]
     ks = [2] * batch
 
+    # parallel compile matrix: every (batch × length-bucket) program the
+    # scheduler can reach compiles CONCURRENTLY (XLA releases the GIL), then
+    # two end-to-end sanity batches run compile-free — this wall time IS the
+    # cold-start cost on a fresh machine (persistent cache makes repeats ~free)
     t0 = time.time()
-    engine.process(queries, ks)  # compile
-    print(f"[bench] first batch (compile) {time.time() - t0:.1f}s", file=sys.stderr)
-    if config != "short_facts":
-        # warm every prompt bucket the length-aware scheduler can reach, so
-        # no XLA compile lands inside the timed run (persistent cache makes
-        # repeat runs cheap)
-        from rag_serving_system_tpu.core.engine import PROMPT_TEMPLATE
-
-        for b in settings.prompt_len_buckets:
-            if b > 800:
-                continue
-            filler = " ".join(["corpus"] * max(b - 30, 8))
-            t0 = time.time()
-            engine.generate_answers(
-                [PROMPT_TEMPLATE.format(context=filler, question="q?")] * batch)
-            print(f"[bench] warmed prompt bucket {b} in {time.time()-t0:.1f}s",
-                  file=sys.stderr)
+    engine.warmup()
+    print(f"[bench] warmup (parallel compile matrix) {time.time() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.time()
+    engine.process(queries, ks)
+    print(f"[bench] first batch (post-warmup) {time.time() - t0:.1f}s",
+          file=sys.stderr)
     t0 = time.time()
     # JAX_TRACE_DIR=<dir> records a jax.profiler trace of one warm batch
     # (used to verify e.g. that the int8 dequant fuses — PERFORMANCE.md)

@@ -579,105 +579,147 @@ class RagEngine:
         encode bucket) stage-1 shape and every (batch bucket × suffix bucket)
         prefix-generate shape — so no XLA compile can ever land mid-serving.
         That is the static-shape tax of bucketed XLA serving; the persistent
-        compile cache makes it one-time per machine."""
+        compile cache makes it one-time per machine.
+
+        After the first end-to-end batch (serial — it compiles the shared
+        pipeline programs), the remaining matrix entries are INDEPENDENT XLA
+        programs, so they compile CONCURRENTLY on a thread pool: XLA releases
+        the GIL during compilation and keys its in-process/persistent caches
+        per program, so distinct shapes parallelize across host cores
+        (WARMUP_COMPILE_WORKERS, default 8; =1 restores serial warmup)."""
         import os
 
         sizes = list(batch_sizes or [self.settings.max_batch_size])
+        jobs: list = []   # (label, zero-arg thunk) — independent programs
+        # stage-1 embed+retrieve per (batch, encode-len) bucket
         for b in sizes:
-            self.process(["warmup query"] * b, [1] * b)
-        full = os.environ.get("WARMUP_FULL", "0") == "1"
-        if full:
-            # stage-1 embed+retrieve per (batch, encode-len) bucket
-            for b in sizes:
-                for elen in self.settings.encode_len_buckets[1:]:
-                    q = " ".join(f"w{i}" for i in range(max(elen - 8, 4)))
-                    self.embed_and_retrieve([q] * b, [1] * b)
-        if full:
-            # FULL-prompt generate per (batch, prompt-len) bucket. Needed
-            # whenever a batch takes the no-prefix path: always when the
-            # prefix cache is off (~400-token SQuAD contexts → the 448
-            # bucket), and with the cache ON for all-bypass batches (every
-            # row below min_tokens or past the pool) — a different jit trace
-            # from the prefix-variant warmed below. Compile now or the first
-            # such batch pays a multi-minute XLA compile mid-serving.
-            cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
-            skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
-            if skipped:
-                logger.warning(
-                    "WARMUP_FULL skipping prompt buckets %s > cap %d "
-                    "(raise WARMUP_PROMPT_CAP to cover them); the first "
-                    "batch landing there will compile mid-serving", skipped, cap)
-            for b in sizes:
-                for plen in self.settings.prompt_len_buckets:
-                    if plen > cap:
-                        continue
-                    ids = jnp.zeros((b, plen), jnp.int32)
-                    mask = jnp.zeros((b, plen), jnp.int32)
-                    mask = mask.at[:, -1].set(1)
-                    self._rng, rng = jax.random.split(self._rng)
-                    generate(self.dec_params, self.dec_cfg, ids, mask, rng,
-                             max_new_tokens=self.settings.max_new_tokens,
-                             do_sample=self.settings.do_sample,
-                             dtype=self.dtype,
-                             row_valid=jnp.ones((b,), bool),
-                             act_quant=self.act_quant)
+            for elen in self.settings.encode_len_buckets:
+                q = " ".join(f"w{i}" for i in range(max(elen - 8, 2)))
+                jobs.append((f"encode b{b} len{elen}", functools.partial(
+                    self.embed_and_retrieve, [q] * b, [1] * b)))
+        # FULL-prompt generate per (batch, prompt-len) bucket. Needed
+        # whenever a batch takes the no-prefix path: always when the
+        # prefix cache is off (~400-token SQuAD contexts → the 448
+        # bucket), and with the cache ON for all-bypass batches (every
+        # row below min_tokens or past the pool) — a different jit trace
+        # from the prefix-variant warmed below. Compile now or the first
+        # such batch pays a multi-minute XLA compile mid-serving.
+        cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
+        skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
+        if skipped:
+            logger.warning(
+                "warmup skipping prompt buckets %s > cap %d "
+                "(raise WARMUP_PROMPT_CAP to cover them); the first "
+                "batch landing there will compile mid-serving", skipped, cap)
+        for b in sizes:
+            for plen in self.settings.prompt_len_buckets:
+                if plen > cap:
+                    continue
+                self._rng, rng = jax.random.split(self._rng)
+                jobs.append((f"generate b{b} p{plen}", functools.partial(
+                    self._warm_generate, b, plen, rng)))
         if self.prefix_cache is not None:
-            # a long question lands in the bigger suffix bucket — compile it
-            long_q = "warmup " + " ".join(f"word{i}" for i in range(45))
-            self.process([long_q] * self.batch_buckets[-1],
-                         [1] * self.batch_buckets[-1])
             # pre-compile every miss-compute shape (see prefix_compute_buckets)
             # AND the matching pool-scatter shape — put_batch scatters the
             # full bucketed row count (pads go to the scratch slot), so this
             # covers the exact program the first real miss batch runs
-            pool_len = self.prefix_cache.pool_len
             for mb in self.prefix_compute_buckets:
-                ids = np.zeros((mb, pool_len), np.int32)
-                mask = np.zeros((mb, pool_len), np.int32)
-                mask[:, 0] = 1
-                kv = compute_prefix_kv(self.dec_params, self.dec_cfg,
-                                       jnp.asarray(ids), jnp.asarray(mask),
-                                       dtype=self.dtype,
-                                       act_quant=self.act_quant)
-                if self.prefix_int8:
-                    from rag_serving_system_tpu.models.qwen2 import (
-                        quantize_prefix_kv,
-                    )
-                    kv = quantize_prefix_kv(kv)
-                self.prefix_cache.put_batch(
-                    [("_warmup_", mb)], [(0,)], kv)
-            self._warm_prefix_suffix_shapes(sizes if full else None)
+                jobs.append((f"prefix_kv m{mb}", functools.partial(
+                    self._warm_prefix_compute, mb)))
+            jobs.extend(self._prefix_suffix_jobs(sizes))
             # seed the persistent compile cache with the gather/scatter
             # programs for every lazy-growth pool size (AOT — allocates
             # nothing), so a mid-serving growth compiles from disk
-            self.prefix_cache.warm_compiles(
+            jobs.append(("pool growth AOT", functools.partial(
+                self.prefix_cache.warm_compiles,
                 gather_counts=self.batch_buckets,
-                scatter_counts=self.prefix_compute_buckets)
+                scatter_counts=self.prefix_compute_buckets)))
+        self._run_warmup_jobs(jobs)
+        # end-to-end sanity batches — every program they need was compiled
+        # above, so these run at serving speed
+        for b in sizes:
+            self.process(["warmup query"] * b, [1] * b)
+        if self.prefix_cache is not None:
+            # a long question lands in the bigger suffix bucket — exercise it
+            long_q = "warmup " + " ".join(f"word{i}" for i in range(45))
+            self.process([long_q] * self.batch_buckets[-1],
+                         [1] * self.batch_buckets[-1])
         # warmup stage times are compile times — drop them so the /stats
         # means reflect serving, not XLA
         self.timer.reset()
 
-    def _warm_prefix_suffix_shapes(self, batch_sizes=None) -> None:
-        """Compile the prefix-variant generate for the overflow-suffix
+    def _warm_generate(self, b: int, plen: int, rng) -> None:
+        """One no-prefix generate program at (batch=b, prompt=plen)."""
+        ids = jnp.zeros((b, plen), jnp.int32)
+        mask = jnp.zeros((b, plen), jnp.int32).at[:, -1].set(1)
+        generate(self.dec_params, self.dec_cfg, ids, mask, rng,
+                 max_new_tokens=self.settings.max_new_tokens,
+                 do_sample=self.settings.do_sample, dtype=self.dtype,
+                 row_valid=jnp.ones((b,), bool), act_quant=self.act_quant)
+
+    def _warm_prefix_compute(self, mb: int) -> None:
+        """One prefix-miss compute+scatter program at miss-bucket mb."""
+        pool_len = self.prefix_cache.pool_len
+        ids = np.zeros((mb, pool_len), np.int32)
+        mask = np.zeros((mb, pool_len), np.int32)
+        mask[:, 0] = 1
+        kv = compute_prefix_kv(self.dec_params, self.dec_cfg,
+                               jnp.asarray(ids), jnp.asarray(mask),
+                               dtype=self.dtype, act_quant=self.act_quant)
+        if self.prefix_int8:
+            from rag_serving_system_tpu.models.qwen2 import quantize_prefix_kv
+            kv = quantize_prefix_kv(kv)
+        self.prefix_cache.put_batch([("_warmup_", mb)], [(0,)], kv)
+
+    def _run_warmup_jobs(self, jobs) -> None:
+        """Execute independent warmup programs, concurrently when allowed."""
+        import os
+
+        if not jobs:
+            return
+        workers = int(os.environ.get("WARMUP_COMPILE_WORKERS", "8"))
+        t0 = time.time()
+        if workers <= 1 or len(jobs) == 1:
+            for _, fn in jobs:
+                fn()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futures = [(label, ex.submit(fn)) for label, fn in jobs]
+                for label, fut in futures:
+                    fut.result()  # surface the first failure with its label
+        logger.info("warmup matrix: %d programs in %.1fs (%d workers)",
+                    len(jobs), time.time() - t0, workers)
+
+    def _prefix_suffix_jobs(self, batch_sizes=None) -> list:
+        """Jobs compiling the prefix-variant generate for the overflow-suffix
         buckets: contexts longer than the pool spill their tail into the
         suffix, landing in prompt-size buckets — without this, the first such
         batch pays an XLA compile mid-serving. Default warms the full batch
         bucket only; pass batch_sizes (WARMUP_FULL) for the whole matrix."""
         suffixes = [64] + [s for s in self.settings.prompt_len_buckets
                            if s <= (256 if batch_sizes else 192)]
+        jobs = []
         for b in (batch_sizes or [self.batch_buckets[-1]]):
-            # gather the permanent zeros slot — same shapes/dtypes/layouts
-            # the serving path produces, so the compile cache is hit exactly
-            prefix_kv = self.prefix_cache.gather(
-                [self.prefix_cache.zero_slot] * b)
             for s_len in suffixes:
-                ids = jnp.zeros((b, s_len), jnp.int32)
-                mask = jnp.zeros((b, s_len), jnp.int32).at[:, -1].set(1)
                 self._rng, rng = jax.random.split(self._rng)
-                generate(self.dec_params, self.dec_cfg, ids, mask, rng,
-                         max_new_tokens=self.settings.max_new_tokens,
-                         do_sample=self.settings.do_sample, dtype=self.dtype,
-                         row_valid=jnp.ones((b,), bool),
-                         act_quant=self.act_quant,
-                         prefix_kv=prefix_kv,
-                         prefix_len=jnp.zeros((b,), jnp.int32))
+                jobs.append((f"prefix-generate b{b} s{s_len}",
+                             functools.partial(self._warm_prefix_suffix, b,
+                                               s_len, rng)))
+        return jobs
+
+    def _warm_prefix_suffix(self, b: int, s_len: int, rng) -> None:
+        # gather the permanent zeros slot — same shapes/dtypes/layouts
+        # the serving path produces, so the compile cache is hit exactly
+        prefix_kv = self.prefix_cache.gather(
+            [self.prefix_cache.zero_slot] * b)
+        ids = jnp.zeros((b, s_len), jnp.int32)
+        mask = jnp.zeros((b, s_len), jnp.int32).at[:, -1].set(1)
+        generate(self.dec_params, self.dec_cfg, ids, mask, rng,
+                 max_new_tokens=self.settings.max_new_tokens,
+                 do_sample=self.settings.do_sample, dtype=self.dtype,
+                 row_valid=jnp.ones((b,), bool),
+                 act_quant=self.act_quant,
+                 prefix_kv=prefix_kv,
+                 prefix_len=jnp.zeros((b,), jnp.int32))

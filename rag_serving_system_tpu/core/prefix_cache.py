@@ -299,15 +299,19 @@ class PrefixKVCache:
                 self._entries.move_to_end(key)
                 entries[key] = e
                 slots.append(slot)
-        m = (kv_rows[0] if self.int8 else kv_rows).shape[0]
-        slots = slots + [self.scratch_slot] * (m - len(slots))
-        idx = jnp.asarray(slots, jnp.int32)
-        if self.int8:
-            vals, scales = kv_rows
-            self._pool = _scatter(self._pool, idx, vals)
-            self._pool_scale = _scatter(self._pool_scale, idx, scales)
-        else:
-            self._pool = _scatter(self._pool, idx, kv_rows)
+            # the scatter DONATES the pool buffer, so it must stay inside the
+            # lock: a concurrent gather (parallel warmup jobs, stage-1
+            # workers) reading self._pool between the donation and the
+            # rebind would hold a deleted array
+            m = (kv_rows[0] if self.int8 else kv_rows).shape[0]
+            slots = slots + [self.scratch_slot] * (m - len(slots))
+            idx = jnp.asarray(slots, jnp.int32)
+            if self.int8:
+                vals, scales = kv_rows
+                self._pool = _scatter(self._pool, idx, vals)
+                self._pool_scale = _scatter(self._pool_scale, idx, scales)
+            else:
+                self._pool = _scatter(self._pool, idx, kv_rows)
         return entries
 
     def gather(self, slots: list) -> jax.Array | tuple:
@@ -315,10 +319,11 @@ class PrefixKVCache:
         (values, scales) pair in int8 mode). Use `zero_slot` for no-prefix
         rows."""
         idx = jnp.asarray(slots, jnp.int32)
-        if self.int8:
-            return (_gather(self._pool, idx, self.entry_shape),
-                    _gather(self._pool_scale, idx, self.scale_shape))
-        return _gather(self._pool, idx, self.entry_shape)
+        with self._lock:   # vs put_batch's donated-scatter pool swap
+            if self.int8:
+                return (_gather(self._pool, idx, self.entry_shape),
+                        _gather(self._pool_scale, idx, self.scale_shape))
+            return _gather(self._pool, idx, self.entry_shape)
 
     def note_bypass(self) -> None:
         """Count a row that skipped the prefix path (lock-guarded — callers

@@ -214,6 +214,45 @@ def test_lru_eviction_and_verify():
     assert (g[0] == 1.0).all() and (g[1] == 3.0).all() and (g[2] == 0.0).all()
 
 
+def test_concurrent_gather_put_batch_is_safe():
+    """put_batch's scatter DONATES the pool buffer; gathers racing with it
+    from other threads (parallel warmup jobs, stage-1 workers) must never
+    observe the deleted array. Regression for the round-3 parallel-warmup
+    race — flaked ~1 in 3 runs before gather/scatter were fully locked."""
+    import threading
+
+    shape = (2, 2, 8, 2, 4)
+    cache = PrefixKVCache(pool_len=8, entry_bytes=1 << 12, budget_mb=4,
+                          entry_shape=shape, dtype=jnp.float32)
+    errs: list = []
+
+    def putter(t):
+        try:
+            for i in range(40):
+                rows = jnp.full((1,) + shape, float(i), jnp.float32)
+                cache.put_batch([(t, i)], [(i,)], rows)
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    def gatherer():
+        try:
+            for _ in range(120):
+                np.asarray(cache.gather([cache.zero_slot, cache.scratch_slot]))
+        except Exception as e:  # pragma: no cover - failure path
+            errs.append(e)
+
+    threads = ([threading.Thread(target=putter, args=(t,)) for t in range(2)]
+               + [threading.Thread(target=gatherer) for _ in range(2)])
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    # zero slot must still be all-zeros after the storm
+    g = np.asarray(cache.gather([cache.zero_slot]))
+    assert (g == 0.0).all()
+
+
 def test_prompt_spec_is_a_string():
     p = PromptSpec("hello world", prefix_text="hello", cache_key=("ctx", (1,)))
     assert p == "hello world" and len(p) == 11
