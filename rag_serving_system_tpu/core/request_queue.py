@@ -196,8 +196,10 @@ class RedisRequestQueue:
         if client is not None:
             self.redis = client  # injection point for fakeredis in tests
         else:
-            import redis
-            self.redis = redis.from_url(redis_url)
+            # redis-py when installed, else the in-repo RESP client (pairs
+            # with native/miniredis.cc for redis-free deployments)
+            from rag_serving_system_tpu.utils.resp import client_from_url
+            self.redis = client_from_url(redis_url)
         self.max_batch_size = max_batch_size
         self.max_wait_time = max_wait_time
         self.polling_interval = polling_interval

@@ -17,6 +17,23 @@ _lib = None
 _build_attempted = False
 
 
+def get_miniredis_path():
+    """Path to the miniredis server binary (building if needed); None if the
+    toolchain is unavailable. Callers spawn it as a subprocess."""
+    global _build_attempted
+    path = os.path.join(_DIR, "miniredis")
+    if os.path.exists(path):
+        return path
+    if not _build_attempted:
+        _build_attempted = True
+        try:
+            subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
+                           capture_output=True, check=True, timeout=120)
+        except Exception as e:
+            logger.debug("native build unavailable: %s", e)
+    return path if os.path.exists(path) else None
+
+
 def get_hashtok_lib():
     """Load (building if needed) the native tokenizer library; None if
     unavailable — callers fall back to pure Python."""

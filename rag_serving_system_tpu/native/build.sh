@@ -1,8 +1,12 @@
 #!/usr/bin/env bash
-# Build the native host-path library. Any C compiler works; no Python headers
-# needed (pure C ABI, loaded via ctypes).
+# Build the native host-path components. No Python headers needed: the
+# tokenizer is a pure-C-ABI library loaded via ctypes, miniredis is a
+# standalone binary.
 set -e
 cd "$(dirname "$0")"
 CC="${CC:-cc}"
+CXX="${CXX:-c++}"
 $CC -O2 -shared -fPIC -o libhashtok.so hashtok.c
 echo "built $(pwd)/libhashtok.so"
+$CXX -O2 -std=c++17 -o miniredis miniredis.cc
+echo "built $(pwd)/miniredis"

@@ -1,0 +1,155 @@
+"""Real-TCP wire tests for the native miniredis server + RespClient pair.
+
+The other Redis-queue tests (`test_queue.py`) exercise the wire contract
+against an in-process stub; these run the SAME queue over an actual socket
+to the C++ server (`native/miniredis.cc`) with the pure-Python RESP client
+(`utils/resp.py`) — the dependency-free split-role topology
+(ROLE=api / ROLE=engine, main.py) uses exactly this pair when redis-py /
+a real Redis are absent (reference pins both; this repo degrades
+gracefully)."""
+
+import socket
+import subprocess
+import threading
+import time
+
+import pytest
+
+from rag_serving_system_tpu.core.request_queue import RedisRequestQueue
+from rag_serving_system_tpu.native import get_miniredis_path
+from rag_serving_system_tpu.utils.resp import RespClient
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def server():
+    path = get_miniredis_path()
+    if path is None:
+        pytest.skip("no C++ toolchain to build miniredis")
+    port = _free_port()
+    proc = subprocess.Popen([path, str(port)], stderr=subprocess.PIPE)
+    # wait for the listening line / accepting socket
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=0.2).close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    else:
+        proc.kill()
+        pytest.fail("miniredis did not come up")
+    yield port
+    proc.terminate()
+    proc.wait(timeout=5)
+
+
+@pytest.fixture()
+def client(server):
+    c = RespClient("127.0.0.1", server)
+    c.flushall()
+    yield c
+    c.close()
+
+
+def test_ping_and_strings(client):
+    assert client.ping()
+    assert client.get("missing") is None
+    client.set("k", "v")
+    assert client.get("k") == b"v"
+    assert client.delete("k", "missing") == 1
+    assert client.get("k") is None
+
+
+def test_setex_expires(client):
+    client.setex("tmp", 1, "payload")
+    assert client.get("tmp") == b"payload"
+    time.sleep(1.1)
+    assert client.get("tmp") is None
+
+
+def test_list_ops_and_pipeline(client):
+    assert client.rpush("q", "a", "b", "c") == 3
+    assert client.llen("q") == 3
+    assert client.lindex("q", 0) == b"a"
+    assert client.lindex("q", -1) == b"c"
+    pipe = client.pipeline()
+    for _ in range(5):
+        pipe.lpop("q")
+    got = pipe.execute()
+    assert got == [b"a", b"b", b"c", None, None]
+    assert client.llen("q") == 0
+
+
+def test_blpop_timeout_and_wakeup(client, server):
+    t0 = time.time()
+    assert client.blpop("empty", timeout=0.3) is None
+    assert 0.2 <= time.time() - t0 < 2.0
+    # a blocked client must be woken by another connection's RPUSH
+    other = RespClient("127.0.0.1", server)
+    got = {}
+
+    def blocker():
+        got["item"] = client.blpop("wake", timeout=5)
+
+    th = threading.Thread(target=blocker)
+    th.start()
+    time.sleep(0.2)
+    other.rpush("wake", "hello")
+    th.join(timeout=5)
+    other.close()
+    assert got["item"] == (b"wake", b"hello")
+
+
+def test_request_queue_over_real_socket(server):
+    q = RedisRequestQueue(client=RespClient("127.0.0.1", server),
+                          max_batch_size=4, max_wait_time=0.3,
+                          polling_interval=0.01)
+    rids = [q.add_request(f"query {i}", k=2) for i in range(6)]
+    assert q.queue_size() == 6
+    assert q.oldest_wait_time() >= 0.0
+    batch = q.get_batch()
+    assert [b["query"] for b in batch] == [f"query {i}" for i in range(4)]
+    batch2 = q.get_batch()
+    assert len(batch2) == 2
+    # results round-trip, consume-once
+    q.store_result(rids[0], {"result": "answer"})
+    assert q.get_result(rids[0], timeout=5) == {"result": "answer"}
+    assert q.get_result(rids[0], timeout=0.2) is None
+
+
+def test_batch_processor_end_to_end_over_miniredis(server):
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+
+    class _Engine:
+        def prepare(self, queries, ks):
+            return queries
+
+        def generate_tokens(self, prompts, staged=None):
+            return list(prompts)
+
+        def finalize_tokens(self, handle):
+            return [f"ans:{p}" for p in handle]
+
+        def generate_answers(self, prompts):
+            return self.finalize_tokens(self.generate_tokens(prompts))
+
+    q = RedisRequestQueue(client=RespClient("127.0.0.1", server),
+                          max_batch_size=4, max_wait_time=0.1,
+                          polling_interval=0.01)
+    proc = BatchProcessor(q, _Engine(), polling_interval=0.01)
+    proc.start()
+    try:
+        rids = [q.add_request(f"q{i}", 1) for i in range(10)]
+        for i, rid in enumerate(rids):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None and res["result"] == f"ans:q{i}"
+    finally:
+        proc.stop()
