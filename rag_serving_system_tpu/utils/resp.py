@@ -9,11 +9,13 @@ the queue uses, so `import redis` and `RespClient` are interchangeable
 there (reference pins redis-py in requirements.txt; this repo works without
 it).
 
-Thread safety: one lock around each request/response exchange — the queue
-calls from the API threads and the batch-processor thread concurrently.
-BLPOP releases the lock only after its reply arrives, like redis-py's
-single-connection behavior. Returned values are bytes (decode_responses
-False), matching what request_queue.py expects.
+Concurrency: a CONNECTION POOL, like redis-py's — each request/response
+exchange checks a socket out of an idle stack (dialing a new one when
+empty) and returns it afterwards, so the API role's result-poll thread pool
+(endpoints.py builds 256 workers for the Redis backend) never serializes on
+a single socket, and a BLPOP blocking one connection never delays SETEX
+result stores from another thread. Returned values are bytes
+(decode_responses False), matching what request_queue.py expects.
 """
 
 from __future__ import annotations
@@ -43,20 +45,35 @@ class _Pipeline:
         self._cmds.append(("RPUSH", key, value))
         return self
 
+    def setex(self, key, ttl, value):
+        self._cmds.append(("SETEX", key, int(ttl), value))
+        return self
+
     def execute(self) -> list:
         cmds, self._cmds = self._cmds, []
         return self._client._execute_many(cmds)
 
 
+class _Conn:
+    """One pooled socket + its read buffer."""
+
+    __slots__ = ("sock", "buf")
+
+    def __init__(self, sock: socket.socket):
+        self.sock = sock
+        self.buf = b""
+
+
 class RespClient:
     def __init__(self, host: str = "127.0.0.1", port: int = 6379,
-                 db: int = 0, timeout: float | None = None):
+                 db: int = 0, timeout: float | None = None,
+                 max_idle: int = 64):
         self._addr = (host, port)
         self._db = db
         self._timeout = timeout
-        self._lock = threading.Lock()
-        self._sock: socket.socket | None = None
-        self._buf = b""
+        self._max_idle = max_idle
+        self._lock = threading.Lock()   # guards the idle stack only
+        self._idle: list[_Conn] = []
 
     @classmethod
     def from_url(cls, url: str) -> "RespClient":
@@ -64,26 +81,49 @@ class RespClient:
         db = int(u.path.lstrip("/") or 0) if u.path else 0
         return cls(u.hostname or "127.0.0.1", u.port or 6379, db=db)
 
-    # -- connection -------------------------------------------------------
+    # -- connection pool ----------------------------------------------------
 
-    def _connect(self) -> socket.socket:
+    def _dial(self) -> _Conn:
         s = socket.create_connection(self._addr, timeout=self._timeout or 10)
         s.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         s.settimeout(self._timeout)
-        self._sock, self._buf = s, b""
+        conn = _Conn(s)
         if self._db:
-            self._exchange_locked([("SELECT", self._db)])
-        return s
+            self._exchange_on(conn, [("SELECT", self._db)])
+        return conn
+
+    def _acquire(self) -> _Conn:
+        with self._lock:
+            if self._idle:
+                return self._idle.pop()
+        return self._dial()
+
+    def _release(self, conn: _Conn) -> None:
+        with self._lock:
+            if len(self._idle) < self._max_idle:
+                self._idle.append(conn)
+                return
+        try:
+            conn.sock.close()
+        except OSError:
+            pass
+
+    def _discard(self, conn: _Conn) -> None:
+        try:
+            conn.sock.close()
+        except OSError:
+            pass
 
     def close(self) -> None:
         with self._lock:
-            if self._sock is not None:
-                try:
-                    self._sock.close()
-                finally:
-                    self._sock = None
+            idle, self._idle = self._idle, []
+        for c in idle:
+            try:
+                c.sock.close()
+            except OSError:
+                pass
 
-    # -- wire -------------------------------------------------------------
+    # -- wire -----------------------------------------------------------------
 
     @staticmethod
     def _encode(cmd: tuple) -> bytes:
@@ -100,26 +140,28 @@ class RespClient:
             out.append(b"$%d\r\n%s\r\n" % (len(b), b))
         return b"".join(out)
 
-    def _read_line(self, s: socket.socket) -> bytes:
-        while b"\r\n" not in self._buf:
-            chunk = s.recv(65536)
+    @staticmethod
+    def _read_line(conn: _Conn) -> bytes:
+        while b"\r\n" not in conn.buf:
+            chunk = conn.sock.recv(65536)
             if not chunk:
                 raise ConnectionError("miniredis/redis connection closed")
-            self._buf += chunk
-        line, self._buf = self._buf.split(b"\r\n", 1)
+            conn.buf += chunk
+        line, conn.buf = conn.buf.split(b"\r\n", 1)
         return line
 
-    def _read_exact(self, s: socket.socket, n: int) -> bytes:
-        while len(self._buf) < n:
-            chunk = s.recv(65536)
+    @staticmethod
+    def _read_exact(conn: _Conn, n: int) -> bytes:
+        while len(conn.buf) < n:
+            chunk = conn.sock.recv(65536)
             if not chunk:
                 raise ConnectionError("miniredis/redis connection closed")
-            self._buf += chunk
-        data, self._buf = self._buf[:n], self._buf[n:]
+            conn.buf += chunk
+        data, conn.buf = conn.buf[:n], conn.buf[n:]
         return data
 
-    def _read_reply(self, s: socket.socket):
-        line = self._read_line(s)
+    def _read_reply(self, conn: _Conn):
+        line = self._read_line(conn)
         t, body = line[:1], line[1:]
         if t == b"+":
             return body
@@ -131,38 +173,44 @@ class RespClient:
             n = int(body)
             if n < 0:
                 return None
-            data = self._read_exact(s, n + 2)
+            data = self._read_exact(conn, n + 2)
             return data[:-2]
         if t == b"*":
             n = int(body)
             if n < 0:
                 return None
-            return [self._read_reply(s) for _ in range(n)]
+            return [self._read_reply(conn) for _ in range(n)]
         raise RespError(f"bad RESP type byte: {line!r}")
 
-    def _exchange_locked(self, cmds: list) -> list:
-        s = self._sock or self._connect()
+    def _exchange_on(self, conn: _Conn, cmds: list) -> list:
+        conn.sock.sendall(b"".join(self._encode(c) for c in cmds))
+        return [self._read_reply(conn) for _ in cmds]
+
+    def _exchange(self, cmds: list) -> list:
+        conn = self._acquire()
         try:
-            s.sendall(b"".join(self._encode(c) for c in cmds))
-            return [self._read_reply(s) for _ in cmds]
+            out = self._exchange_on(conn, cmds)
         except (ConnectionError, OSError):
-            # one reconnect attempt (server restart / idle close)
-            self._sock = None
-            s = self._connect()
-            s.sendall(b"".join(self._encode(c) for c in cmds))
-            return [self._read_reply(s) for _ in cmds]
+            # pooled socket may have idled out — one fresh-dial retry
+            self._discard(conn)
+            conn = self._dial()
+            try:
+                out = self._exchange_on(conn, cmds)
+            except (ConnectionError, OSError):
+                self._discard(conn)
+                raise
+        self._release(conn)
+        return out
 
     def _execute(self, *cmd):
-        with self._lock:
-            return self._exchange_locked([cmd])[0]
+        return self._exchange([cmd])[0]
 
     def _execute_many(self, cmds: list) -> list:
         if not cmds:
             return []
-        with self._lock:
-            return self._exchange_locked(cmds)
+        return self._exchange(cmds)
 
-    # -- the queue's command surface -------------------------------------
+    # -- the queue's command surface ------------------------------------------
 
     def ping(self) -> bool:
         return self._execute("PING") in (b"PONG", b"OK")
@@ -175,20 +223,20 @@ class RespClient:
 
     def blpop(self, key, timeout=0):
         """Returns (key, value) bytes or None — redis-py shape. The socket
-        deadline stretches past the server-side block timeout."""
-        with self._lock:
-            s = self._sock or self._connect()
-            old = s.gettimeout()
-            s.settimeout((timeout or 30) + 10)
-            try:
-                s.sendall(self._encode(("BLPOP", key, timeout)))
-                reply = self._read_reply(s)
-            except (ConnectionError, OSError):
-                self._sock = None
-                raise
-            finally:
-                if self._sock is not None:
-                    s.settimeout(old)
+        deadline stretches past the server-side block timeout; the blocking
+        connection is checked out of the pool, so other threads' commands
+        proceed on their own sockets meanwhile."""
+        conn = self._acquire()
+        old = conn.sock.gettimeout()
+        conn.sock.settimeout((timeout or 30) + 10)
+        try:
+            conn.sock.sendall(self._encode(("BLPOP", key, timeout)))
+            reply = self._read_reply(conn)
+        except (ConnectionError, OSError):
+            self._discard(conn)
+            raise
+        conn.sock.settimeout(old)
+        self._release(conn)
         return tuple(reply) if reply else None
 
     def llen(self, key) -> int:

@@ -108,6 +108,45 @@ def test_blpop_timeout_and_wakeup(client, server):
     assert got["item"] == (b"wake", b"hello")
 
 
+def test_pool_concurrency_and_blpop_nonblocking(client, server):
+    """The pool must let commands proceed while another thread sits in
+    BLPOP on the SAME client (single-socket designs deadlock here), and
+    survive many threads hammering concurrently."""
+    got = {}
+
+    def blocker():
+        got["item"] = client.blpop("poolwake", timeout=5)
+
+    th = threading.Thread(target=blocker)
+    th.start()
+    time.sleep(0.1)
+    # while blocker holds its pooled conn in BLPOP, these must not stall
+    t0 = time.time()
+    client.set("side", "v")
+    assert client.get("side") == b"v"
+    assert time.time() - t0 < 1.0
+    client.rpush("poolwake", "x")
+    th.join(timeout=5)
+    assert got["item"] == (b"poolwake", b"x")
+
+    errs = []
+
+    def hammer(i):
+        try:
+            for j in range(50):
+                client.set(f"h{i}", f"{j}")
+                assert client.get(f"h{i}") == str(j).encode()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(i,)) for i in range(16)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert not errs
+
+
 def test_request_queue_over_real_socket(server):
     q = RedisRequestQueue(client=RespClient("127.0.0.1", server),
                           max_batch_size=4, max_wait_time=0.3,
