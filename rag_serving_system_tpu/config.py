@@ -80,7 +80,10 @@ class Settings:
     model_preset: str = field(default_factory=lambda: _env("MODEL_PRESET", "full"))
     # corpus streaming dtype for retrieval: 'float32' (oracle-exact, default)
     # | 'bfloat16' (half the HBM bytes, ~2x top-k speed at >=1M docs;
-    # near-tie order may differ from the f32 oracle)
+    # near-tie order may differ from the f32 oracle) | 'int8' (quarter the
+    # bytes, mean-centered per-row quantization — f32-parity task recall on
+    # real e5 embeddings, fits 10M-doc corpora in one chip's HBM;
+    # single-device only)
     retrieval_corpus_dtype: str = field(
         default_factory=lambda: _env("RETRIEVAL_CORPUS_DTYPE", "float32"))
     # exact prefix-KV caching of repeated RAG contexts (core/prefix_cache.py):

@@ -59,7 +59,10 @@ from rag_serving_system_tpu.models.tokenizer import (
     pad_and_stack,
 )
 from rag_serving_system_tpu.models.weights import get_decoder_params, get_encoder_params
-from rag_serving_system_tpu.ops.topk import cosine_topk_pallas, cosine_topk_reference
+from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas,
+                                             cosine_topk_pallas_int8,
+                                             cosine_topk_reference,
+                                             quantize_corpus_int8)
 from rag_serving_system_tpu.parallel.mesh import make_mesh
 from rag_serving_system_tpu.parallel.sharded_topk import shard_corpus, sharded_cosine_topk
 from rag_serving_system_tpu.utils.timing import StageTimer
@@ -105,10 +108,16 @@ def _encode_compiled(params, cfg, ids, mask, dtype):
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "dtype", "k", "use_pallas"))
-def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dtype):
+def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dtype,
+                              corpus_scales=None, corpus_mean=None):
     """Single-dispatch fused embed→top-k (single-device path): the query
-    embeddings never exist outside the XLA program."""
+    embeddings never exist outside the XLA program. An int8 corpus arrives
+    with its per-row scales + mean (RETRIEVAL_CORPUS_DTYPE=int8)."""
     emb = encode(params, cfg, ids, mask, pooling="mean_all", dtype=dtype)
+    if corpus_scales is not None:
+        return cosine_topk_pallas_int8(corpus, corpus_scales, emb, k,
+                                       corpus_mean=corpus_mean,
+                                       interpret=not use_pallas)
     if use_pallas:
         return cosine_topk_pallas(corpus, emb, k)
     return cosine_topk_reference(corpus, emb, k)
@@ -203,12 +212,22 @@ class RagEngine:
         emb = _l2n(emb)
         self.n_docs = emb.shape[0]
         self.mesh = mesh
-        corpus_dt = (jnp.bfloat16
-                     if settings.retrieval_corpus_dtype == "bfloat16"
-                     else jnp.float32)
+        corpus_dtype = settings.retrieval_corpus_dtype
         n_dev = 1 if mesh is None else mesh.devices.size
+        if corpus_dtype == "int8" and n_dev > 1:
+            logger.warning("int8 corpus is single-device only; the sharded "
+                           "path streams bfloat16 instead")
+            corpus_dtype = "bfloat16"
+        corpus_dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
+        self.corpus_scales = None
+        self.corpus_mean = None
         if n_dev > 1:
             self.corpus = shard_corpus(jnp.asarray(emb, dtype=corpus_dt), mesh)
+        elif corpus_dtype == "int8":
+            q, s, m = quantize_corpus_int8(jnp.asarray(emb))
+            self.corpus = jax.device_put(q)
+            self.corpus_scales = jax.device_put(s)
+            self.corpus_mean = jax.device_put(m)
         else:
             self.corpus = jax.device_put(jnp.asarray(emb, dtype=corpus_dt))
         self.use_pallas = jax.default_backend() == "tpu"
@@ -300,6 +319,11 @@ class RagEngine:
         if self.mesh is not None and self.mesh.devices.size > 1:
             return sharded_cosine_topk(self.corpus, q_emb, k, self.mesh,
                                        valid_n=self.n_docs, use_pallas=self.use_pallas)
+        if self.corpus_scales is not None:
+            return cosine_topk_pallas_int8(self.corpus, self.corpus_scales,
+                                           q_emb, k,
+                                           corpus_mean=self.corpus_mean,
+                                           interpret=not self.use_pallas)
         if self.use_pallas:
             return cosine_topk_pallas(self.corpus, q_emb, k)
         return cosine_topk_reference(self.corpus, q_emb, k)
@@ -338,7 +362,9 @@ class RagEngine:
             # single fused dispatch: encode + top-k in one XLA program
             _, idx = _encode_retrieve_compiled(
                 self.enc_params, self.enc_cfg, jnp.asarray(ids),
-                jnp.asarray(mask), self.corpus, k, self.use_pallas, self.dtype)
+                jnp.asarray(mask), self.corpus, k, self.use_pallas, self.dtype,
+                corpus_scales=self.corpus_scales,
+                corpus_mean=self.corpus_mean)
         idx = np.asarray(idx)  # single device→host transfer
         return [list(map(int, idx[i, :ks[i]])) for i in range(len(queries))]
 

@@ -123,17 +123,32 @@ class TpuRetriever(_DeviceRetriever):
         self.use_pallas = use_pallas
         corpus = _l2n(np.asarray(embeddings, dtype=np.float32))
         # bf16 streaming halves the corpus HBM bytes (~2x retrieval speed for
-        # large corpora); near-tie orderings can differ from the f32 oracle,
+        # large corpora); int8 halves them again AND fits 10M-doc corpora in
+        # one chip's HBM. Near-tie orderings can differ from the f32 oracle,
         # so exact-parity deployments keep the default f32
-        dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
-        self.corpus = jax.device_put(jnp.asarray(corpus, dtype=dt))
+        self.corpus_dtype = corpus_dtype
         self.n = corpus.shape[0]
         self._dim = corpus.shape[1] if corpus.ndim == 2 else 0
         self.max_k = max(1, min(max_k, self.n))
+        if corpus_dtype == "int8":
+            from rag_serving_system_tpu.ops.topk import quantize_corpus_int8
+            q, s, m = quantize_corpus_int8(jnp.asarray(corpus))
+            self.corpus = jax.device_put(q)
+            self.corpus_scales = jax.device_put(s)
+            self.corpus_mean = jax.device_put(m)
+        else:
+            dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
+            self.corpus = jax.device_put(jnp.asarray(corpus, dtype=dt))
 
     def topk_indices(self, query_embeddings, k: int):
         """Device path: returns ((B,k) scores, (B,k) indices) jax arrays."""
         q = jnp.asarray(query_embeddings, dtype=jnp.float32)
+        if self.corpus_dtype == "int8":
+            from rag_serving_system_tpu.ops.topk import cosine_topk_pallas_int8
+            return cosine_topk_pallas_int8(
+                self.corpus, self.corpus_scales, q, k,
+                corpus_mean=self.corpus_mean,
+                interpret=not self.use_pallas)
         return cosine_topk(self.corpus, q, k, use_pallas=self.use_pallas)
 
 

@@ -141,6 +141,159 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# int8 corpus mode — halve bf16's HBM bytes again (the op is corpus-
+# bandwidth-bound, so bytes ≈ time), and make 10M-doc corpora fit in a
+# single chip's HBM (10M × 1024 int8 = 10.2 GB vs 20.5 GB bf16 / 41 GB f32).
+# Symmetric per-row quantization of the PRE-NORMALIZed corpus; scores use
+# the int8×int8→int32 MXU path with the per-row scale applied as a rank-1
+# broadcast before the top-k merge, so cross-document ordering is preserved
+# up to quantization error. Per-row QUERY scales never enter the kernel:
+# top-k per row is invariant to a positive per-row scaling, so they are
+# applied to the returned scores on the way out.
+# ---------------------------------------------------------------------------
+
+def quantize_corpus_int8(
+    corpus: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Mean-centered per-row symmetric int8 quantization. Returns
+    (values (N,D) int8, scales (1,N) f32, mean (1,D) f32) with
+    corpus ≈ mean + values * scales.T[:, None].
+
+    Centering matters enormously for real text embeddings: e5's SQuAD
+    vectors are ≈ one shared unit vector plus ~16× smaller residuals
+    (measured: mean-norm 0.998, residual max-component 0.006 vs raw 0.1),
+    and `q · mean` is constant per query so it cannot change ranking —
+    quantizing only the residual makes the int8 step 16× finer, lifting
+    noisy-query recall@5 from 0.78 to f32-parity 0.97 (above bf16's 0.92)
+    on the repo's real SQuAD embeddings. For isotropic corpora mean ≈ 0
+    and centering is a no-op."""
+    c = corpus.astype(jnp.float32)
+    mean = jnp.mean(c, axis=0, keepdims=True)                  # (1, D)
+    r = c - mean
+    amax = jnp.max(jnp.abs(r), axis=1, keepdims=True)          # (N, 1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(r / scale), -127, 127).astype(jnp.int8)
+    return q, scale.reshape(1, -1), mean
+
+
+def _quantize_queries_int8(q: jax.Array) -> tuple[jax.Array, jax.Array]:
+    qf = q.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(qf), axis=1, keepdims=True)         # (B, 1)
+    scale = jnp.maximum(amax, 1e-12) / 127.0
+    qi = jnp.clip(jnp.round(qf / scale), -127, 127).astype(jnp.int8)
+    return qi, scale
+
+
+def _topk_kernel_int8(q_ref, c_ref, cs_ref, scores_out, idx_out, run_s, run_i,
+                      *, k, block_n, valid_n):
+    """int8 variant of `_topk_kernel`: int32 MXU accumulate, then the
+    per-document scale turns the tile into comparable f32 scores."""
+    step = pl.program_id(0)
+    nsteps = pl.num_programs(0)
+
+    @pl.when(step == 0)
+    def _init():
+        run_s[:] = jnp.full_like(run_s, NEG_INF)
+        run_i[:] = jnp.zeros_like(run_i)
+
+    s_i32 = jax.lax.dot_general(
+        q_ref[:], c_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )                                   # (B, BLOCK_N) int32
+    s = s_i32.astype(jnp.float32) * cs_ref[:]     # (1, BLOCK_N) broadcast
+
+    base = step * block_n
+    gcol = base + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(gcol < valid_n, s, NEG_INF)
+
+    @pl.when(jnp.max(s) > jnp.min(run_s[:, k - 1]))
+    def _merge():
+        cand_s = jnp.concatenate([run_s[:], s], axis=1)
+        cand_i = jnp.concatenate([run_i[:], gcol], axis=1)
+        new_s, new_i = _select_topk_merge(cand_s, cand_i, k)
+        run_s[:] = new_s
+        run_i[:] = new_i
+
+    @pl.when(step == nsteps - 1)
+    def _emit():
+        scores_out[:] = run_s[:]
+        idx_out[:] = run_i[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret",
+                                             "normalize_queries"))
+def cosine_topk_pallas_int8(
+    corpus_q: jax.Array,        # (N, D) int8 — from quantize_corpus_int8
+    corpus_scales: jax.Array,   # (1, N) f32
+    queries: jax.Array,         # (B, D)
+    k: int,
+    corpus_mean: jax.Array | None = None,   # (1, D) f32 (centered corpora)
+    block_n: int = 4096,
+    interpret: bool = False,
+    normalize_queries: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Streaming top-k over an int8-quantized corpus (~4× less HBM traffic
+    than f32). Scores are approximate cosine (int8 quantization error, near-
+    tie order can differ from the f32 oracle); the kernel ranks by the
+    residual dot product and the rank-invariant `q · mean` term is added
+    back outside, so returned scores still approximate true cosine."""
+    n, d = corpus_q.shape
+    b = queries.shape[0]
+    qn = _l2_normalize(queries) if normalize_queries else queries.astype(jnp.float32)
+    qn = qn.astype(jnp.float32)
+    qi, qscale = _quantize_queries_int8(qn)
+
+    b_bytes = b * (d + 5 * 4 * (block_n + k))
+    over = max(0, b_bytes - 2_000_000)
+    vmem_block_cap = max(256, ((4_200_000 - over // 2) // d) // 256 * 256)
+    block_n = min(block_n, vmem_block_cap, _round_up(n, 256))
+    n_pad = _round_up(n, block_n)
+    if n_pad != n:
+        corpus_q = jnp.pad(corpus_q, ((0, n_pad - n), (0, 0)))
+        corpus_scales = jnp.pad(corpus_scales, ((0, 0), (0, n_pad - n)))
+    nsteps = n_pad // block_n
+
+    kernel = functools.partial(_topk_kernel_int8, k=k, block_n=block_n,
+                               valid_n=n)
+    scores, idx = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_n, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n_pad * d,
+            bytes_accessed=n_pad * d + n_pad * 4 + b * d + 2 * b * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qi, corpus_q, corpus_scales)
+    # fold the per-row query scale back in so scores approximate true cosine
+    # (ordering already correct without it), plus the per-query mean term
+    scores = scores * qscale
+    if corpus_mean is not None:
+        scores = scores + qn @ corpus_mean.reshape(-1, 1)      # (B, 1)
+    return scores, idx
+
+
 @functools.partial(jax.jit, static_argnames=("k", "block_n", "interpret",
                                              "normalize_queries"))
 def cosine_topk_pallas(

@@ -113,6 +113,62 @@ def timed(fn, reps: int = 8) -> float:
     return (time.time() - t0) / reps
 
 
+def run_int8(base: np.ndarray, queries, results: list) -> None:
+    """int8-corpus rows: the kernel streams N*D bytes + N*4 scale bytes."""
+    from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas_int8,
+                                                 quantize_corpus_int8)
+
+    n, d = base.shape
+    k = 16
+    cq, cs, cm = quantize_corpus_int8(jnp.asarray(base))
+    cq, cs, cm = map(jax.device_put, (cq, cs, cm))
+    nbytes = n * d + n * 4
+    # the kernel's VMEM budget clamps block_n to ~4096 rows at d=1024
+    for block_n in (2048, 4096):
+        if n % block_n:
+            continue
+        try:
+            fn = lambda: cosine_topk_pallas_int8(  # noqa: E731
+                cq, cs, queries, k, corpus_mean=cm, block_n=block_n)[0]
+            dt = timed(fn)
+            row = {"corpus": "int8", "variant": "full", "block_n": block_n,
+                   "n": n, "ms": round(dt * 1e3, 2),
+                   "gbps": round(nbytes / dt / 1e9, 1)}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"corpus": "int8", "block_n": block_n,
+                              "n": n, "error": str(e)[:200]}), flush=True)
+
+
+def run_int8_10m(d: int, queries, results: list) -> None:
+    """10M-doc row (VERDICT r2 #6): 10M x 1024 only fits one chip's HBM as
+    int8 (10.2 GB vs 20.5 bf16 / 41 f32). Synthetic int8 corpus generated
+    host-side — timing is data-independent for the streaming scan."""
+    from rag_serving_system_tpu.ops.topk import cosine_topk_pallas_int8
+
+    n = 10_000_000
+    n_pad = (n + 8191) // 8192 * 8192
+    rng = np.random.default_rng(1)
+    cq = jax.device_put(jnp.asarray(
+        rng.integers(-127, 128, size=(n_pad, d), dtype=np.int8)))
+    cs = jax.device_put(jnp.full((1, n_pad), 1 / 127.0, dtype=jnp.float32))
+    nbytes = n_pad * d + n_pad * 4
+    for block_n in (4096,):
+        try:
+            fn = lambda: cosine_topk_pallas_int8(  # noqa: E731
+                cq, cs, queries, 16, block_n=block_n)[0]
+            dt = timed(fn, reps=4)
+            row = {"corpus": "int8", "variant": "full", "block_n": block_n,
+                   "n": n_pad, "ms": round(dt * 1e3, 2),
+                   "gbps": round(nbytes / dt / 1e9, 1)}
+            results.append(row)
+            print(json.dumps(row), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({"corpus": "int8_10m", "block_n": block_n,
+                              "error": str(e)[:200]}), flush=True)
+
+
 def main() -> None:
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
@@ -156,6 +212,10 @@ def main() -> None:
                         print(json.dumps({"corpus": name, "variant": variant,
                                           "block_n": block_n,
                                           "error": str(e)[:200]}), flush=True)
+    run_int8(base, queries, results)
+    del base, corpus  # free the 1M-doc device corpora before the 10 GB pool
+    if os.environ.get("TOPK_10M", "1") == "1":
+        run_int8_10m(d, queries, results)
     print(json.dumps({"summary": results}))
 
 

@@ -110,3 +110,115 @@ def test_topk_large_query_batch_shrinks_block(rng):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(ref_i))
     np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# int8 corpus mode
+# ---------------------------------------------------------------------------
+
+def test_int8_quantize_roundtrip():
+    from rag_serving_system_tpu.ops.topk import quantize_corpus_int8
+
+    corpus, _ = _make(np.random.default_rng(3), 200, 128, 1)
+    q, s, m = quantize_corpus_int8(jnp.asarray(corpus))
+    assert q.dtype == jnp.int8 and s.shape == (1, 200) and m.shape == (1, 128)
+    deq = np.asarray(m) + np.asarray(q, dtype=np.float32) * np.asarray(s).T
+    # per-row symmetric scale on the residual: max error is scale/2 per comp
+    np.testing.assert_allclose(deq, corpus, atol=np.asarray(s).max() / 2 + 1e-7)
+
+
+@pytest.mark.parametrize("n,d,b,k,block_n", [
+    (300, 128, 4, 5, 256),
+    (1000, 256, 8, 10, 512),
+    (257, 128, 1, 3, 256),     # padding tail + B=1
+])
+def test_int8_pallas_high_overlap_with_oracle(n, d, b, k, block_n):
+    """int8 is approximate: assert the top-k SETS nearly match the f32
+    oracle (random high-dim corpora have near-ties that may flip). A local
+    fixed-seed generator keeps the near-tie structure deterministic — the
+    shared session rng's state depends on test order."""
+    from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas_int8,
+                                                 quantize_corpus_int8)
+
+    corpus, queries = _make(np.random.default_rng(n + d), n, d, b)
+    cq, cs, cm = quantize_corpus_int8(jnp.asarray(corpus))
+    s, i = cosine_topk_pallas_int8(cq, cs, jnp.asarray(queries), k,
+                                   corpus_mean=cm,
+                                   block_n=block_n, interpret=True)
+    ref_s, ref_i = cosine_topk_reference(jnp.asarray(corpus),
+                                         jnp.asarray(queries), k)
+    i, ref_i = np.asarray(i), np.asarray(ref_i)
+    overlap = np.mean([len(set(i[r]) & set(ref_i[r])) / k for r in range(b)])
+    assert overlap >= 0.9, overlap
+    # top-1 must agree on random data at this scale
+    np.testing.assert_array_equal(i[:, 0], ref_i[:, 0])
+    # returned scores approximate true cosine
+    np.testing.assert_allclose(np.asarray(s)[:, 0], np.asarray(ref_s)[:, 0],
+                               atol=0.02)
+
+
+def test_int8_exact_on_separated_corpus():
+    """With well-separated docs (the serving regime — real corpora are not
+    isotropic noise) int8 retrieval must be index-exact vs the oracle."""
+    from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas_int8,
+                                                 quantize_corpus_int8)
+
+    rng = np.random.default_rng(42)
+    d = 128
+    corpus = rng.standard_normal((128, d)).astype(np.float32) * 4.0
+    corpus /= np.linalg.norm(corpus, axis=-1, keepdims=True)
+    queries = corpus[:4] + 0.1 * rng.standard_normal((4, d)).astype(np.float32)
+    cq, cs, cm = quantize_corpus_int8(jnp.asarray(corpus))
+    _, i = cosine_topk_pallas_int8(cq, cs, jnp.asarray(queries.astype(np.float32)),
+                                   5, corpus_mean=cm, interpret=True)
+    _, ref_i = cosine_topk_reference(jnp.asarray(corpus), jnp.asarray(queries), 5)
+    i, ref_i = np.asarray(i), np.asarray(ref_i)
+    # the retrieved SET must be exact; order within it may swap at the
+    # ~1e-3-gap adjacent ranks that sit inside int8's resolution
+    for r in range(i.shape[0]):
+        assert set(i[r]) == set(ref_i[r]), (r, i[r], ref_i[r])
+    np.testing.assert_array_equal(i[:, 0], ref_i[:, 0])
+
+
+def test_int8_recall_on_real_squad_embeddings():
+    """TASK recall@5 (does the true document surface) of int8 retrieval vs
+    the f32 oracle on the repo's REAL SQuAD e5 embeddings — the regime that
+    matters. e5 vectors live in a tight cone (pairwise cosine ≈ 0.55 with
+    ~1e-4 rank gaps), which is why quantize_corpus_int8 centers: without
+    centering this drops to ~0.78. Mid-noise (0.3) is the harsh setting."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        "squad_embeddings.npy")
+    emb = np.load(path).astype(np.float32)
+    emb /= np.maximum(np.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas_int8,
+                                                 quantize_corpus_int8)
+
+    rng = np.random.default_rng(7)
+    sel = rng.choice(emb.shape[0], size=64, replace=False)
+    noise = rng.standard_normal((64, emb.shape[1])).astype(np.float32)
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    queries = emb[sel] + 0.3 * noise
+    cq, cs, cm = quantize_corpus_int8(jnp.asarray(emb))
+    s8, i8 = cosine_topk_pallas_int8(cq, cs, jnp.asarray(queries), 5,
+                                     corpus_mean=cm, interpret=True)
+    sref, ref = cosine_topk_reference(jnp.asarray(emb), jnp.asarray(queries), 5)
+    i8, ref = np.asarray(i8), np.asarray(ref)
+    r8 = np.mean([sel[r] in i8[r] for r in range(64)])
+    rref = np.mean([sel[r] in ref[r] for r in range(64)])
+    assert r8 >= rref - 0.01, (r8, rref)   # int8 must match f32 task recall
+    # with the mean term added back, returned scores approximate true cosine
+    np.testing.assert_allclose(np.asarray(s8)[:, 0], np.asarray(sref)[:, 0],
+                               atol=5e-3)
+
+
+def test_retriever_int8_corpus_dtype():
+    from rag_serving_system_tpu.core.retriever import TpuRetriever
+
+    corpus, queries = _make(np.random.default_rng(5), 120, 64, 3)
+    docs = [f"doc {i}" for i in range(120)]
+    r_f32 = TpuRetriever(corpus, docs, use_pallas=False)
+    r_int8 = TpuRetriever(corpus, docs, use_pallas=False, corpus_dtype="int8")
+    a = r_f32.batch_retrieve(queries, [1, 1, 1])
+    b = r_int8.batch_retrieve(queries, [1, 1, 1])
+    assert a == b
