@@ -86,6 +86,11 @@ class Settings:
     # single-device only)
     retrieval_corpus_dtype: str = field(
         default_factory=lambda: _env("RETRIEVAL_CORPUS_DTYPE", "float32"))
+    # int8 corpora larger than this many rows split into per-chunk top-k
+    # programs (the TPU compiler rejects the streaming kernel once
+    # N x block_n exceeds ~2^35; chunks also bound host->device staging)
+    topk_chunk_rows: int = field(
+        default_factory=lambda: int(_env("TOPK_CHUNK_ROWS", str(4_194_304))))
     # exact prefix-KV caching of repeated RAG contexts (core/prefix_cache.py):
     # retrieval is deterministic, so the "Context:\n..." prefix repeats across
     # requests; cache its KV and prefill only the question suffix

@@ -59,10 +59,11 @@ from rag_serving_system_tpu.models.tokenizer import (
     pad_and_stack,
 )
 from rag_serving_system_tpu.models.weights import get_decoder_params, get_encoder_params
-from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas,
+from rag_serving_system_tpu.ops.topk import (cosine_topk_int8_chunked,
+                                             cosine_topk_pallas,
                                              cosine_topk_pallas_int8,
                                              cosine_topk_reference,
-                                             quantize_corpus_int8)
+                                             quantize_corpus_int8_chunked)
 from rag_serving_system_tpu.parallel.mesh import make_mesh
 from rag_serving_system_tpu.parallel.sharded_topk import shard_corpus, sharded_cosine_topk
 from rag_serving_system_tpu.utils.timing import StageTimer
@@ -221,13 +222,22 @@ class RagEngine:
         corpus_dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
         self.corpus_scales = None
         self.corpus_mean = None
+        self.corpus_chunks = None
         if n_dev > 1:
             self.corpus = shard_corpus(jnp.asarray(emb, dtype=corpus_dt), mesh)
         elif corpus_dtype == "int8":
-            q, s, m = quantize_corpus_int8(jnp.asarray(emb))
-            self.corpus = jax.device_put(q)
-            self.corpus_scales = jax.device_put(s)
-            self.corpus_mean = jax.device_put(m)
+            # host-side chunked quantization: no corpus-size device
+            # transients, and corpora past the kernel's N×block_n compile
+            # ceiling (e.g. 10M docs) split into per-chunk programs
+            chunks, m = quantize_corpus_int8_chunked(
+                emb, chunk_rows=settings.topk_chunk_rows)
+            self.corpus_mean = m
+            if len(chunks) == 1:
+                self.corpus, self.corpus_scales = chunks[0]
+            else:
+                self.corpus_chunks = chunks
+                logger.info("int8 corpus in %d chunks of <=%d rows",
+                            len(chunks), settings.topk_chunk_rows)
         else:
             self.corpus = jax.device_put(jnp.asarray(emb, dtype=corpus_dt))
         self.use_pallas = jax.default_backend() == "tpu"
@@ -319,6 +329,10 @@ class RagEngine:
         if self.mesh is not None and self.mesh.devices.size > 1:
             return sharded_cosine_topk(self.corpus, q_emb, k, self.mesh,
                                        valid_n=self.n_docs, use_pallas=self.use_pallas)
+        if self.corpus_chunks is not None:
+            return cosine_topk_int8_chunked(self.corpus_chunks, q_emb, k,
+                                            corpus_mean=self.corpus_mean,
+                                            interpret=not self.use_pallas)
         if self.corpus_scales is not None:
             return cosine_topk_pallas_int8(self.corpus, self.corpus_scales,
                                            q_emb, k,
@@ -355,7 +369,10 @@ class RagEngine:
         # trigger an unbounded recompile (the merge loop unrolls k times)
         ks = [max(1, min(int(k), self.n_docs, self.max_k)) for k in ks]
         k = self.max_k
-        if self.mesh is not None and self.mesh.devices.size > 1:
+        if (self.mesh is not None and self.mesh.devices.size > 1) \
+                or self.corpus_chunks is not None:
+            # chunked corpora dispatch one program per chunk (a single fused
+            # module would recreate the N×block_n compile ceiling)
             q_emb = self._embed_jit(self._put_batch(ids), self._put_batch(mask))
             _, idx = self._topk(q_emb, k)
         else:

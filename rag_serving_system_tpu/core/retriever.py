@@ -131,11 +131,13 @@ class TpuRetriever(_DeviceRetriever):
         self._dim = corpus.shape[1] if corpus.ndim == 2 else 0
         self.max_k = max(1, min(max_k, self.n))
         if corpus_dtype == "int8":
-            from rag_serving_system_tpu.ops.topk import quantize_corpus_int8
-            q, s, m = quantize_corpus_int8(jnp.asarray(corpus))
-            self.corpus = jax.device_put(q)
-            self.corpus_scales = jax.device_put(s)
-            self.corpus_mean = jax.device_put(m)
+            from rag_serving_system_tpu.ops.topk import (
+                quantize_corpus_int8_chunked)
+            import os
+            chunk_rows = int(os.environ.get("TOPK_CHUNK_ROWS",
+                                            str(4_194_304)))
+            self.corpus_chunks, self.corpus_mean = (
+                quantize_corpus_int8_chunked(corpus, chunk_rows=chunk_rows))
         else:
             dt = jnp.bfloat16 if corpus_dtype == "bfloat16" else jnp.float32
             self.corpus = jax.device_put(jnp.asarray(corpus, dtype=dt))
@@ -144,9 +146,9 @@ class TpuRetriever(_DeviceRetriever):
         """Device path: returns ((B,k) scores, (B,k) indices) jax arrays."""
         q = jnp.asarray(query_embeddings, dtype=jnp.float32)
         if self.corpus_dtype == "int8":
-            from rag_serving_system_tpu.ops.topk import cosine_topk_pallas_int8
-            return cosine_topk_pallas_int8(
-                self.corpus, self.corpus_scales, q, k,
+            from rag_serving_system_tpu.ops.topk import cosine_topk_int8_chunked
+            return cosine_topk_int8_chunked(
+                self.corpus_chunks, q, k,
                 corpus_mean=self.corpus_mean,
                 interpret=not self.use_pallas)
         return cosine_topk(self.corpus, q, k, use_pallas=self.use_pallas)

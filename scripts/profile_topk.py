@@ -114,14 +114,22 @@ def timed(fn, reps: int = 8) -> float:
 
 
 def run_int8(base: np.ndarray, queries, results: list) -> None:
-    """int8-corpus rows: the kernel streams N*D bytes + N*4 scale bytes."""
-    from rag_serving_system_tpu.ops.topk import (cosine_topk_pallas_int8,
-                                                 quantize_corpus_int8)
+    """int8-corpus rows: the kernel streams N*D bytes + N*4 scale bytes.
+
+    Quantizes HOST-side (numpy) — the jitted quantize_corpus_int8 holds
+    ~3 corpus-sized f32 transients on device, which OOMs next to the 1M
+    f32/bf16 corpora the fp sweep leaves resident."""
+    from rag_serving_system_tpu.ops.topk import cosine_topk_pallas_int8
 
     n, d = base.shape
     k = 16
-    cq, cs, cm = quantize_corpus_int8(jnp.asarray(base))
-    cq, cs, cm = map(jax.device_put, (cq, cs, cm))
+    mean = base.mean(axis=0, keepdims=True)
+    r = base - mean
+    scale = np.maximum(np.abs(r).max(axis=1, keepdims=True), 1e-12) / 127.0
+    qv = np.clip(np.round(r / scale), -127, 127).astype(np.int8)
+    cq = jax.device_put(jnp.asarray(qv))
+    cs = jax.device_put(jnp.asarray(scale.reshape(1, -1)))
+    cm = jax.device_put(jnp.asarray(mean))
     nbytes = n * d + n * 4
     # the kernel's VMEM budget clamps block_n to ~4096 rows at d=1024
     for block_n in (2048, 4096):
@@ -143,30 +151,34 @@ def run_int8(base: np.ndarray, queries, results: list) -> None:
 
 def run_int8_10m(d: int, queries, results: list) -> None:
     """10M-doc row (VERDICT r2 #6): 10M x 1024 only fits one chip's HBM as
-    int8 (10.2 GB vs 20.5 bf16 / 41 f32). Synthetic int8 corpus generated
-    host-side — timing is data-independent for the streaming scan."""
-    from rag_serving_system_tpu.ops.topk import cosine_topk_pallas_int8
+    int8 (10.2 GB vs 20.5 bf16 / 41 f32), and must run CHUNKED — the
+    compiler rejects the one-array kernel past N x block_n ~ 2^35.
+    Synthetic int8 corpus generated host-side; timing is data-independent
+    for the streaming scan."""
+    from rag_serving_system_tpu.ops.topk import cosine_topk_int8_chunked
 
-    n = 10_000_000
-    n_pad = (n + 8191) // 8192 * 8192
+    n, chunk = 10_000_000, 4_194_304
     rng = np.random.default_rng(1)
-    cq = jax.device_put(jnp.asarray(
-        rng.integers(-127, 128, size=(n_pad, d), dtype=np.int8)))
-    cs = jax.device_put(jnp.full((1, n_pad), 1 / 127.0, dtype=jnp.float32))
-    nbytes = n_pad * d + n_pad * 4
-    for block_n in (4096,):
-        try:
-            fn = lambda: cosine_topk_pallas_int8(  # noqa: E731
-                cq, cs, queries, 16, block_n=block_n)[0]
-            dt = timed(fn, reps=4)
-            row = {"corpus": "int8", "variant": "full", "block_n": block_n,
-                   "n": n_pad, "ms": round(dt * 1e3, 2),
-                   "gbps": round(nbytes / dt / 1e9, 1)}
-            results.append(row)
-            print(json.dumps(row), flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(json.dumps({"corpus": "int8_10m", "block_n": block_n,
-                              "error": str(e)[:200]}), flush=True)
+    chunks = []
+    for lo in range(0, n, chunk):
+        rows = min(chunk, n - lo)
+        chunks.append((
+            jax.device_put(jnp.asarray(
+                rng.integers(-127, 128, size=(rows, d), dtype=np.int8))),
+            jax.device_put(jnp.full((1, rows), 1 / 127.0, dtype=jnp.float32)),
+        ))
+    nbytes = n * d + n * 4
+    try:
+        fn = lambda: cosine_topk_int8_chunked(chunks, queries, 16)[0]  # noqa: E731
+        dt = timed(fn, reps=4)
+        row = {"corpus": "int8", "variant": "chunked", "n": n,
+               "chunks": len(chunks), "ms": round(dt * 1e3, 2),
+               "gbps": round(nbytes / dt / 1e9, 1)}
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(json.dumps({"corpus": "int8_10m", "error": str(e)[:200]}),
+              flush=True)
 
 
 def main() -> None:
@@ -182,7 +194,14 @@ def main() -> None:
     from rag_serving_system_tpu.ops.topk import cosine_topk_pallas
 
     results = []
-    for dtype, name in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+    corpus = None
+    # TOPK_PARTS selects sections (fp = f32/bf16 roofline, int8 = 1M int8,
+    # 10m = the 10M-doc row). The 10M row needs a FRESH process: HBM
+    # fragmentation from the fp sweep's 6 GB of corpora breaks the 10 GB
+    # device_put even after del.
+    parts = os.environ.get("TOPK_PARTS", "fp,int8").split(",")
+    for dtype, name in (((jnp.float32, "f32"), (jnp.bfloat16, "bf16"))
+                        if "fp" in parts else ()):
         corpus = jnp.asarray(base, dtype=dtype)
         nbytes = n * d * (4 if name == "f32" else 2)
         for block_n in (512, 1024, 2048, 4096):
@@ -212,9 +231,10 @@ def main() -> None:
                         print(json.dumps({"corpus": name, "variant": variant,
                                           "block_n": block_n,
                                           "error": str(e)[:200]}), flush=True)
-    run_int8(base, queries, results)
-    del base, corpus  # free the 1M-doc device corpora before the 10 GB pool
-    if os.environ.get("TOPK_10M", "1") == "1":
+    if "int8" in parts:
+        run_int8(base, queries, results)
+    del base, corpus
+    if "10m" in parts:
         run_int8_10m(d, queries, results)
     print(json.dumps({"summary": results}))
 

@@ -222,3 +222,86 @@ def test_retriever_int8_corpus_dtype():
     a = r_f32.batch_retrieve(queries, [1, 1, 1])
     b = r_int8.batch_retrieve(queries, [1, 1, 1])
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# chunked int8 corpus (single-buffer compile-ceiling escape)
+# ---------------------------------------------------------------------------
+
+def test_int8_chunked_matches_single_chunk():
+    """Chunk boundaries must be invisible: per-row scales make quantization
+    chunk-independent and top-k-of-chunk-top-ks is exact, so a 4-chunk split
+    (ragged tail included) returns bit-identical results to one chunk."""
+    from rag_serving_system_tpu.ops.topk import (cosine_topk_int8_chunked,
+                                                 quantize_corpus_int8_chunked)
+
+    corpus, queries = _make(np.random.default_rng(11), 1000, 128, 4)
+    one, m1 = quantize_corpus_int8_chunked(corpus, chunk_rows=10**9)
+    four, m4 = quantize_corpus_int8_chunked(corpus, chunk_rows=300)
+    assert len(one) == 1 and len(four) == 4
+    assert four[-1][0].shape[0] == 100          # ragged tail
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m4))
+    s1, i1 = cosine_topk_int8_chunked(one, jnp.asarray(queries), 5,
+                                      corpus_mean=m1, interpret=True)
+    s4, i4 = cosine_topk_int8_chunked(four, jnp.asarray(queries), 5,
+                                      corpus_mean=m4, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i4))
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s4), rtol=1e-6)
+
+
+def test_retriever_int8_chunked(monkeypatch):
+    from rag_serving_system_tpu.core.retriever import TpuRetriever
+
+    corpus, queries = _make(np.random.default_rng(5), 120, 64, 3)
+    docs = [f"doc {i}" for i in range(120)]
+    monkeypatch.setenv("TOPK_CHUNK_ROWS", "50")   # force 3 chunks
+    r_f32 = TpuRetriever(corpus, docs, use_pallas=False)
+    r_int8 = TpuRetriever(corpus, docs, use_pallas=False, corpus_dtype="int8")
+    assert len(r_int8.corpus_chunks) == 3
+    a = r_f32.batch_retrieve(queries, [2, 2, 2])
+    b = r_int8.batch_retrieve(queries, [2, 2, 2])
+    assert a == b
+
+
+def test_engine_int8_chunked_corpus(tiny_settings_factory=None):
+    """Engine path: a multi-chunk int8 corpus retrieves identically to the
+    f32 default through embed_and_retrieve (separate encode + chunked top-k
+    dispatches instead of the fused program)."""
+    import json
+    import os
+    import tempfile
+
+    from rag_serving_system_tpu.config import get_settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    rng = np.random.default_rng(9)
+    docs = [f"passage {i}: " + " ".join(f"tok{i}_{j}" for j in range(5))
+            for i in range(90)]
+    emb = rng.standard_normal((90, 64)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    with tempfile.TemporaryDirectory() as td:
+        dp = os.path.join(td, "docs.json")
+        json.dump(docs, open(dp, "w"))
+        base = dict(MODEL_PRESET="tiny", PREFIX_CACHE="0", BATCH_BUCKETS="1",
+                    MAX_BATCH_SIZE="2", ENCODE_LEN_BUCKETS="16",
+                    PROMPT_LEN_BUCKETS="64", DOCUMENT_TEXT_FILE=dp)
+        old = {k: os.environ.get(k) for k in
+               list(base) + ["RETRIEVAL_CORPUS_DTYPE", "TOPK_CHUNK_ROWS"]}
+        os.environ.update(base)
+        try:
+            os.environ["RETRIEVAL_CORPUS_DTYPE"] = "int8"
+            os.environ["TOPK_CHUNK_ROWS"] = "40"
+            eng8 = RagEngine(get_settings(), docs, emb)
+            assert eng8.corpus_chunks is not None
+            assert len(eng8.corpus_chunks) == 3
+            os.environ["RETRIEVAL_CORPUS_DTYPE"] = "float32"
+            engf = RagEngine(get_settings(), docs, emb)
+            queries = [docs[7], docs[41]]
+            assert eng8.embed_and_retrieve(queries, [3, 3]) == \
+                engf.embed_and_retrieve(queries, [3, 3])
+        finally:
+            for k, v in old.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
