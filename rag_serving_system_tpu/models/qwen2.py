@@ -326,27 +326,40 @@ def decode_step(
 
     x = embed_lookup(params, token[:, None], dtype)  # (B, 1, H)
 
-    # layer scan: each step reads its (B, T, Hk, D) cache row from xs, writes
-    # the token's K/V at write_at, and emits the updated row as ys — XLA's
-    # while-loop buffer aliasing keeps the update in place
-    def body(x, xs_l):
-        layer, ck, cv = xs_l
+    # Layer scan with the KV cache in the CARRY: each layer writes only its
+    # token's (1, B, 1, Hk, D) row into the stacked (L, B, T, Hk, D) arrays
+    # via dynamic_update_slice, then reads its layer slice back — XLA
+    # aliases scan carries, so the write is in place and the only big HBM
+    # traffic is the unavoidable attention read of the cache. (An earlier
+    # version streamed the cache through scan xs and re-emitted it as
+    # stacked ys, which forced a full old-cache read + new-cache write every
+    # decode step: ~1 GB extra HBM traffic per token at prompt 512 —
+    # measured 5.2 vs 2.8 ms/token on v5e.)
+    n_layers = cache.k.shape[0]
+
+    def body(carry, xs_l):
+        x, K, V = carry
+        layer, li = xs_l
         h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
         q, k, v = _qkv(layer, cfg, h, b, 1)
         q = apply_rope(q, positions, inv_freq)
         k = apply_rope(k, positions, inv_freq)
-        ck = jax.lax.dynamic_update_slice(
-            ck, k.astype(ck.dtype), (0, write_at, 0, 0))
-        cv = jax.lax.dynamic_update_slice(
-            cv, v.astype(cv.dtype), (0, write_at, 0, 0))
+        K = jax.lax.dynamic_update_slice(
+            K, k[None].astype(K.dtype), (li, 0, write_at, 0, 0))
+        V = jax.lax.dynamic_update_slice(
+            V, v[None].astype(V.dtype), (li, 0, write_at, 0, 0))
+        ck = jax.lax.dynamic_slice_in_dim(K, li, 1, 0)[0]
+        cv = jax.lax.dynamic_slice_in_dim(V, li, 1, 0)[0]
         a = attention(q, ck.astype(dtype), cv.astype(dtype), bias)
         a = a.reshape(b, 1, cfg.num_heads * cfg.head_dim)
         x = x + dense(a, layer["o_w"])
         h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
         x = x + _mlp(layer, h)
-        return x, (ck, cv)
+        return (x, K, V), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(n_layers)))
 
     logits = logits_from_hidden(params, cfg, x[:, 0, :])
     return logits, KVCache(k=new_k, v=new_v)
