@@ -259,8 +259,12 @@ class RagEngine:
             # no point caching beyond the longest prompt the engine ever
             # prefills — clamping keeps short-prompt configs' decode window
             # (prefix slots + suffix) tight
-            pool_len = min(settings.prefix_pool_len,
-                           max(settings.prompt_len_buckets))
+            want_len = settings.prefix_pool_len
+            if want_len is None:
+                want_len = self._auto_pool_len(documents)
+                logger.info("prefix pool auto-sized to %d tokens from "
+                            "corpus statistics", want_len)
+            pool_len = min(want_len, max(settings.prompt_len_buckets))
             self.prefix_int8 = settings.prefix_cache_dtype == "int8"
             slots = c.num_layers * 2 * pool_len * c.num_kv_heads
             if self.prefix_int8:  # int8 values + one f32 scale per head-dim row
@@ -403,6 +407,28 @@ class RagEngine:
                 out.extend(self._generate_answers(prompts[i:i + cap]))
             return out
         return self.finalize_tokens(self.generate_tokens(prompts))
+
+    def _auto_pool_len(self, documents: List[str]) -> int:
+        """Size the prefix pool from corpus statistics: tokenize sampled
+        2-doc context prefixes (k=2 is the API default) and take p75,
+        rounded up to a 128 multiple. A pool that covers the TYPICAL whole
+        context collapses steady-state suffixes to the question-only bucket
+        — on real-SQuAD prompts that is the difference between prefilling
+        ~128 overflow tokens per request and ~32 (measured 2.3× end-to-end,
+        PERFORMANCE.md). Clamped to [128, 768]; long-tail contexts beyond
+        the pool still split (their overflow rides the suffix buckets)."""
+        if not documents:
+            return 384
+        n = len(documents)
+        step = max(1, n // 32)
+        sample = [documents[i] for i in range(0, n, step)][:32]
+        lens = []
+        for i, doc in enumerate(sample):
+            pair = f"{doc}\n---\n{sample[(i + 1) % len(sample)]}"
+            lens.append(len(self.dec_tok.encode(
+                PREFIX_TEMPLATE.format(context=pair))))
+        p75 = sorted(lens)[int(0.75 * (len(lens) - 1))]
+        return min(768, max(128, -(-p75 // 128) * 128))
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
         """Tokenize a context prefix, memoized by cache key — rows sharing a

@@ -462,3 +462,30 @@ def test_adaptive_bypass_never_fires_during_warmup_misses():
         assert cache.should_attempt() is True
         cache.get(("w", i), (i,))
     assert cache.bypass_mode is False
+
+
+def test_auto_pool_len_sizes_from_corpus():
+    """PREFIX_POOL_LEN unset → the engine sizes the pool from sampled 2-doc
+    context prefixes (p75, rounded to 128): long-doc corpora get a bigger
+    pool than short-doc corpora, and an explicit setting wins."""
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((20, 64)).astype(np.float32)
+    short_docs = [f"short doc {i}" for i in range(20)]
+    long_docs = [f"long doc {i} " + " ".join(f"w{i}_{j}" for j in range(300))
+                 for i in range(20)]
+
+    def mk(docs, pool_len):
+        s = Settings(model_preset="tiny", dtype="float32",
+                     batch_buckets=[1, 2], encode_len_buckets=[16],
+                     prompt_len_buckets=[64, 512], max_new_tokens=2,
+                     max_batch_size=2, do_sample=False, prefix_cache=True,
+                     prefix_pool_len=pool_len)
+        return RagEngine(s, docs, emb)
+
+    assert mk(short_docs, None).prefix_cache.pool_len == 128
+    auto_long = mk(long_docs, None).prefix_cache.pool_len
+    assert auto_long > 128
+    assert mk(long_docs, 256).prefix_cache.pool_len == 256
