@@ -72,6 +72,16 @@ def main() -> int:
 
     jax.config.update("jax_compilation_cache_dir",
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    # honor an explicit JAX_PLATFORMS=cpu even under device plugins that
+    # force-select themselves (env alone loses to the plugin; the config
+    # update wins) — without this, CI runs of the runbook hang whenever the
+    # accelerator is unreachable
+    want = os.environ.get("JAX_PLATFORMS", "")
+    if want and "cpu" in want.split(","):
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass
 
     from rag_serving_system_tpu.config import Settings
     from rag_serving_system_tpu.core.engine import QUERY_PREFIX, RagEngine
