@@ -767,8 +767,19 @@ class RagEngine:
         suffix, landing in prompt-size buckets — without this, the first such
         batch pays an XLA compile mid-serving. Default warms the full batch
         bucket only; pass batch_sizes (WARMUP_FULL) for the whole matrix."""
-        suffixes = [64] + [s for s in self.settings.prompt_len_buckets
-                           if s <= (256 if batch_sizes else 192)]
+        overflow_cap = 256 if batch_sizes else 192
+        suffixes = SUFFIX_LEN_BUCKETS + [
+            s for s in self.settings.prompt_len_buckets if s <= overflow_cap]
+        unwarmed = [s for s in self.settings.prompt_len_buckets
+                    if s > overflow_cap]
+        if unwarmed:
+            # contexts that overflow the pool by a lot ride these buckets —
+            # rare (the pool is auto-sized to cover p75 of whole contexts)
+            # but the first such batch compiles mid-serving
+            logger.info("prefix-generate overflow-suffix buckets %s not "
+                        "pre-compiled (long-tail contexts only; raise "
+                        "WARMUP_FULL coverage if the corpus is long-tailed)",
+                        unwarmed)
         jobs = []
         for b in (batch_sizes or [self.batch_buckets[-1]]):
             for s_len in suffixes:

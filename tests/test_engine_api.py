@@ -293,6 +293,24 @@ def test_warmup_full_covers_full_prompt_buckets(monkeypatch):
     assert len(out) == 2
 
 
+def test_warmup_matrix_covers_every_suffix_bucket():
+    """The PARALLEL warmup matrix must include a prefix-generate job for
+    every SUFFIX_LEN_BUCKETS entry (32 and 64) — short questions land in the
+    32 bucket, and a bucket missing from the matrix compiles serially during
+    the sanity batches (dead cold-start time) or, worse, mid-serving."""
+    from rag_serving_system_tpu.core.engine import SUFFIX_LEN_BUCKETS
+
+    rng = np.random.default_rng(0)
+    docs = [f"Doc {i} " + " ".join(f"w{i}t{j}" for j in range(20))
+            for i in range(16)]
+    emb = rng.standard_normal((16, 64)).astype(np.float32)
+    engine = RagEngine(tiny_settings(batch_buckets=[2], max_batch_size=2,
+                                     prefix_pool_len=48), docs, emb)
+    labels = [label for label, _ in engine._prefix_suffix_jobs()]
+    for s in SUFFIX_LEN_BUCKETS:
+        assert any(f" s{s}" in lbl for lbl in labels), (s, labels)
+
+
 def test_role_split_api_and_engine_processes(tmp_path):
     """ROLE=api / ROLE=engine split one service across processes over the
     shared queue (main.py): the api role serves HTTP with NO engine in
