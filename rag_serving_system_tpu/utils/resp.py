@@ -228,7 +228,9 @@ class RespClient:
         proceed on their own sockets meanwhile."""
         conn = self._acquire()
         old = conn.sock.gettimeout()
-        conn.sock.settimeout((timeout or 30) + 10)
+        # timeout=0 asks the SERVER to block forever — the client socket must
+        # then have no deadline of its own
+        conn.sock.settimeout(timeout + 10 if timeout else None)
         try:
             conn.sock.sendall(self._encode(("BLPOP", key, timeout)))
             reply = self._read_reply(conn)
