@@ -210,7 +210,8 @@ def main() -> None:
         "metric": f"rag_e2e_throughput_b{batch}"
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
-                  + ("_noprefix" if engine.prefix_cache is None else ""),
+                  + ("_noprefix" if engine.prefix_cache is None else "")
+                  + ("_pxint8" if engine.prefix_int8 else ""),
         "value": round(rps, 2),
         "unit": "req/s",
         # tiny mode is a CI smoke run of toy models — not baseline-comparable
