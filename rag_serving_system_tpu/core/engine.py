@@ -64,7 +64,6 @@ from rag_serving_system_tpu.ops.topk import (cosine_topk_int8_chunked,
                                              cosine_topk_pallas_int8,
                                              cosine_topk_reference,
                                              quantize_corpus_int8_chunked)
-from rag_serving_system_tpu.parallel.mesh import make_mesh
 from rag_serving_system_tpu.parallel.sharded_topk import shard_corpus, sharded_cosine_topk
 from rag_serving_system_tpu.utils.timing import StageTimer
 

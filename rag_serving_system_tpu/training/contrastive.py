@@ -13,7 +13,6 @@ temperature tau; in-batch negatives (standard dense-retriever recipe).
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import Iterator
 
