@@ -67,6 +67,16 @@ class BatchProcessor(threading.Thread):
         self._ready: "queue.Queue[tuple]" = queue.Queue(
             maxsize=0 if depth == 0 else max(depth, self.prefetch_workers))
         self._pending = None          # deferred (request_ids, token handle)
+        # FINALIZE_ASYNC=1 (default): a dedicated worker blocks on the
+        # device→host token transfer + detokenize + store, so the dispatch
+        # thread never pays the transfer round-trip (~26 ms through the axon
+        # tunnel — it was the whole wall-vs-device-proxy gap at short_facts
+        # scale). The bounded queue is the pipeline's backpressure: at most
+        # FINALIZE_DEPTH dispatched-but-unfinalized batches in flight keeps
+        # the device busy without unbounded result latency.
+        self.finalize_async = os.environ.get("FINALIZE_ASYNC", "1") == "1"
+        self._finalize_q: "queue.Queue[tuple]" = queue.Queue(
+            maxsize=max(1, int(os.environ.get("FINALIZE_DEPTH", "2"))))
         # rolling stats for observability
         self.batches_processed = 0
         self.requests_processed = 0
@@ -132,6 +142,24 @@ class BatchProcessor(threading.Thread):
                 logger.exception("prefetch loop error")
                 time.sleep(self.polling_interval)
 
+    def _finalize_loop(self) -> None:
+        """Drain dispatched batches: wait out the device, transfer tokens,
+        detokenize, store. The transfer wait releases the GIL, so on a
+        single-core host this thread costs only the (small) detok/store CPU
+        while hiding the tunnel round-trip from the dispatch loop."""
+        while self.running or not self._finalize_q.empty():
+            try:
+                ids, handle, t0 = self._finalize_q.get(
+                    timeout=self.polling_interval)
+            except queue.Empty:
+                continue
+            try:
+                self._finalize_and_store(ids, handle)
+                # dispatch→delivered latency of the batch (the /stats gauge)
+                self.last_batch_seconds = time.time() - t0
+            finally:
+                self._finalize_q.task_done()
+
     def run(self) -> None:
         self.running = True
         logger.info("BatchProcessor started (prefetch=%s).", self.prefetch)
@@ -140,6 +168,10 @@ class BatchProcessor(threading.Thread):
             for _ in range(self.prefetch_workers):
                 threading.Thread(target=self._prefetch_loop, args=(ready,),
                                  daemon=True).start()
+            if self.finalize_async:
+                self._finalizer = threading.Thread(
+                    target=self._finalize_loop, daemon=True)
+                self._finalizer.start()
         while self.running:
             try:
                 t0 = time.time()
@@ -186,6 +218,11 @@ class BatchProcessor(threading.Thread):
         request_ids = [req["id"] for req in batch]
         try:
             handle = self.engine.generate_tokens(prompts, staged=staged)
+            if self.finalize_async:
+                # blocks only when FINALIZE_DEPTH batches are already in
+                # flight — the backpressure that bounds result latency
+                self._finalize_q.put((request_ids, handle, time.time()))
+                return
             pending, self._pending = self._pending, (request_ids, handle)
             if pending is not None:
                 self._finalize_and_store(*pending)
@@ -249,9 +286,17 @@ class BatchProcessor(threading.Thread):
         deadline = time.time() + drain_timeout
         while time.time() < deadline and (
                 self._busy or self._stage1_count > 0
-                or self._ready.unfinished_tasks > 0):
+                or self._ready.unfinished_tasks > 0
+                or self._finalize_q.unfinished_tasks > 0):
             time.sleep(0.02)
         self.running = False
+        # the finalize worker exits once running is False AND its queue is
+        # empty; give dispatched-but-unfinalized batches a bounded window to
+        # deliver (device work already paid — only the transfer remains)
+        deadline = max(deadline, time.time() + min(drain_timeout, 5.0))
+        while (time.time() < deadline
+               and self._finalize_q.unfinished_tasks > 0):
+            time.sleep(0.02)
         # run() flushes the deferred batch on exit; if the thread was never
         # started (or already dead), deliver it here so nothing is lost
         if not self.is_alive():

@@ -373,3 +373,65 @@ def test_role_api_requires_redis():
     assert s.redis_url is None
     with pytest.raises(SystemExit):
         main_mod.build_app(settings=s, role="api")
+
+
+def test_async_finalize_delivers_without_followup_batch():
+    """FINALIZE_ASYNC (default on): a single batch's results must be
+    delivered promptly by the finalize worker — the old single-slot defer
+    held them until the NEXT batch (or an idle poll) arrived."""
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.05,
+                     polling_interval=0.01)
+    proc = BatchProcessor(q, _StubEngine(), polling_interval=0.01)
+    assert proc.finalize_async  # default on
+    proc.start()
+    try:
+        rid = q.add_request("solo", 1)
+        t0 = time.time()
+        res = q.get_result(rid, timeout=10)
+        assert res is not None and res["result"] == "ans:P:solo"
+        assert time.time() - t0 < 2.0
+    finally:
+        proc.stop()
+
+
+def test_async_finalize_backpressure_and_order_independence(monkeypatch):
+    """The bounded finalize queue must apply backpressure (dispatch blocks at
+    FINALIZE_DEPTH in-flight batches) while every request still gets its own
+    answer when the device (here: finalize) is the slow stage."""
+    monkeypatch.setenv("FINALIZE_DEPTH", "2")
+
+    class _SlowFinalize(_StubEngine):
+        def finalize_tokens(self, handle):
+            time.sleep(0.05)  # device + transfer stand-in
+            return super().finalize_tokens(handle)
+
+    q = RequestQueue(max_batch_size=2, max_wait_time=0.02,
+                     polling_interval=0.01)
+    rids = [q.add_request(f"q{i}", 1) for i in range(12)]
+    proc = BatchProcessor(q, _SlowFinalize(), polling_interval=0.01)
+    assert proc._finalize_q.maxsize == 2
+    proc.start()
+    try:
+        for i, rid in enumerate(rids):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None
+            assert res["result"] == f"ans:P:q{i}"
+    finally:
+        proc.stop()
+
+
+def test_sync_finalize_fallback(monkeypatch):
+    """FINALIZE_ASYNC=0 restores the single-slot deferred-finalize path."""
+    monkeypatch.setenv("FINALIZE_ASYNC", "0")
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.05,
+                     polling_interval=0.01)
+    proc = BatchProcessor(q, _StubEngine(), polling_interval=0.01)
+    assert not proc.finalize_async
+    proc.start()
+    try:
+        rids = [q.add_request(f"s{i}", 1) for i in range(8)]
+        for i, rid in enumerate(rids):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None and res["result"] == f"ans:P:s{i}"
+    finally:
+        proc.stop()
