@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import os
 import threading
 import time
 from typing import List, Sequence
@@ -76,8 +77,13 @@ PREFIX_TEMPLATE = "Context:\n{context}\n\nQuestion:"
 DOC_JOIN = "\n---\n"
 QUERY_PREFIX = "query: "
 # suffix (question + answer cue) length buckets for the prefix-cache path —
-# finer than the full-prompt buckets because suffixes are short
-SUFFIX_LEN_BUCKETS = [32, 64]
+# finer than the full-prompt buckets because suffixes are short. Suffix
+# prefill cost is ~linear in the bucket length (it is MXU-bound), so the
+# bucket set is tunable: SUFFIX_LEN_BUCKETS="24,32,64" adds a tighter bucket
+# for short-question workloads at the cost of one more compiled program per
+# batch bucket.
+SUFFIX_LEN_BUCKETS = sorted(
+    int(x) for x in os.environ.get("SUFFIX_LEN_BUCKETS", "32,64").split(","))
 
 
 def pick_bucket(buckets: Sequence[int], n: int) -> int:
