@@ -82,8 +82,12 @@ QUERY_PREFIX = "query: "
 # bucket set is tunable: SUFFIX_LEN_BUCKETS="24,32,64" adds a tighter bucket
 # for short-question workloads at the cost of one more compiled program per
 # batch bucket.
-SUFFIX_LEN_BUCKETS = sorted(
-    int(x) for x in os.environ.get("SUFFIX_LEN_BUCKETS", "32,64").split(","))
+def _parse_len_buckets(spec: str) -> list[int]:
+    return sorted(int(x) for x in spec.split(","))
+
+
+SUFFIX_LEN_BUCKETS = _parse_len_buckets(
+    os.environ.get("SUFFIX_LEN_BUCKETS", "32,64"))
 
 
 def pick_bucket(buckets: Sequence[int], n: int) -> int:

@@ -489,3 +489,15 @@ def test_auto_pool_len_sizes_from_corpus():
     auto_long = mk(long_docs, None).prefix_cache.pool_len
     assert auto_long > 128
     assert mk(long_docs, 256).prefix_cache.pool_len == 256
+
+
+def test_suffix_len_buckets_env_knob():
+    """SUFFIX_LEN_BUCKETS is parsed/sorted from the env at import time; the
+    default stays [32, 64] and pick_bucket routes a 20-token suffix to the
+    tightest configured bucket."""
+    from rag_serving_system_tpu.core import engine as eng
+
+    assert eng.SUFFIX_LEN_BUCKETS == [32, 64]
+    buckets = eng._parse_len_buckets("64,24,32")
+    assert buckets == [24, 32, 64]
+    assert eng.pick_bucket(buckets, 20) == 24
