@@ -211,7 +211,8 @@ def main() -> None:
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
-                  + ("_pxint8" if engine.prefix_int8 else ""),
+                  + ("_pxint8" if engine.prefix_int8 else "")
+                  + ("_noqcache" if engine.query_cache_stats() is None else ""),
         "value": round(rps, 2),
         "unit": "req/s",
         # tiny mode is a CI smoke run of toy models — not baseline-comparable
@@ -224,6 +225,12 @@ def main() -> None:
         # the workload reuses `batch` distinct queries, so steady-state hit
         # rate is high — the stats record makes that context explicit
         result["prefix_cache"] = engine.prefix_cache.stats()
+    qstats = engine.query_cache_stats()
+    if qstats is not None:
+        # same disclosure: the cycled query set makes steady-state hits ~100%;
+        # the cache is exact (deterministic retrieval), QUERY_CACHE_SIZE=0
+        # gives the no-cache bound
+        result["query_cache"] = qstats
     print(json.dumps(result))
     try:  # extended record for the perf log (headline line above is the contract)
         details_path = os.environ.get("BENCH_DETAILS", "BENCH_DETAILS.json")

@@ -135,6 +135,9 @@ def create_api(request_queue, processor=None, engine=None,
             body["stages"] = engine.timer.summary()
             if getattr(engine, "prefix_cache", None) is not None:
                 body["prefix_cache"] = engine.prefix_cache.stats()
+            qstats = getattr(engine, "query_cache_stats", lambda: None)()
+            if qstats is not None:
+                body["query_cache"] = qstats
         return web.json_response(body)
 
     app.router.add_post("/rag", rag_endpoint)

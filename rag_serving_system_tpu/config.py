@@ -127,6 +127,15 @@ class Settings:
     # not bit-exact)
     prefix_cache_dtype: str = field(
         default_factory=lambda: _env("PREFIX_CACHE_DTYPE", "compute"))
+    # exact query-result cache: retrieval is deterministic (fixed corpus +
+    # encoder weights), so an identical query string always retrieves the
+    # identical top-max_k index list — cache it by exact text and skip the
+    # encode+retrieve dispatch (and its host-synced index transfer) on hits.
+    # Entries are a few hundred bytes; 0 disables. Miss overhead is two dict
+    # operations, so no adaptive bypass is needed (unlike the prefix-KV
+    # cache, whose miss path costs device work).
+    query_cache_size: int = field(
+        default_factory=lambda: int(_env("QUERY_CACHE_SIZE", "8192")))
     # weight-only quantization for the decoder: 'none' | 'int8' | 'int4'
     # (int4 = group-128 matmul weights + int8 embed/head; see ops/quant.py)
     quant_weights: str = field(default_factory=lambda: _env("QUANT_WEIGHTS", "none"))

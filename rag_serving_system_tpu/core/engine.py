@@ -263,6 +263,13 @@ class RagEngine:
         from collections import OrderedDict
         self._prefix_tok_cache: OrderedDict = OrderedDict()
         self._prefix_tok_lock = threading.Lock()
+        # exact query-result cache (see embed_and_retrieve); LRU over exact
+        # query text → top-max_k index list
+        self._query_cache: OrderedDict | None = (
+            OrderedDict() if settings.query_cache_size > 0 else None)
+        self._query_cache_lock = threading.Lock()
+        self.query_cache_hits = 0
+        self.query_cache_misses = 0
         if settings.prefix_cache:
             c = self.dec_cfg
             # no point caching beyond the longest prompt the engine ever
@@ -356,7 +363,15 @@ class RagEngine:
         return cosine_topk_reference(self.corpus, q_emb, k)
 
     def embed_and_retrieve(self, queries: List[str], ks: List[int]) -> List[List[int]]:
-        """Returns per-query document-index lists (variable k, host-sliced)."""
+        """Returns per-query document-index lists (variable k, host-sliced).
+
+        Fronted by the exact query-result cache when enabled: retrieval is
+        deterministic (fixed corpus + encoder weights + stable top-k
+        tie-break), so an identical query string always yields the identical
+        top-max_k list — hits skip the encode+retrieve dispatch AND its
+        host-synced index transfer; an all-hit batch does no device work at
+        all. Misses (deduplicated) run the normal path at their own batch
+        bucket. Bit-exact by construction; stats in `query_cache_stats`."""
         if not queries:
             return []
         cap = self.batch_buckets[-1]
@@ -367,6 +382,49 @@ class RagEngine:
             for i in range(0, len(queries), cap):
                 out.extend(self.embed_and_retrieve(queries[i:i + cap], ks[i:i + cap]))
             return out
+        # hard-clamp k to [1, max_k] (and corpus size): a single compiled top-k
+        # shape serves every request — an attacker-supplied huge k must never
+        # trigger an unbounded recompile (the merge loop unrolls k times)
+        ks = [max(1, min(int(k), self.n_docs, self.max_k)) for k in ks]
+        if self._query_cache is None:
+            full = self._retrieve_full(queries)
+            return [row[:k] for row, k in zip(full, ks)]
+        with self._query_cache_lock:
+            found = {}
+            for q in queries:
+                row = self._query_cache.get(q)
+                if row is not None:
+                    self._query_cache.move_to_end(q)
+                    found[q] = row
+            hits = sum(1 for q in queries if q in found)
+            self.query_cache_hits += hits
+            self.query_cache_misses += len(queries) - hits
+            misses = list(dict.fromkeys(q for q in queries if q not in found))
+        if misses:
+            fresh = self._retrieve_full(misses)
+            with self._query_cache_lock:
+                for q, row in zip(misses, fresh):
+                    found[q] = row
+                    self._query_cache[q] = row
+                    self._query_cache.move_to_end(q)
+                while len(self._query_cache) > self.settings.query_cache_size:
+                    self._query_cache.popitem(last=False)
+        return [found[q][:k] for q, k in zip(queries, ks)]
+
+    def query_cache_stats(self) -> dict | None:
+        if self._query_cache is None:
+            return None
+        with self._query_cache_lock:
+            lookups = self.query_cache_hits + self.query_cache_misses
+            return {"entries": len(self._query_cache),
+                    "capacity": self.settings.query_cache_size,
+                    "hits": self.query_cache_hits,
+                    "misses": self.query_cache_misses,
+                    "hit_rate": (self.query_cache_hits / lookups)
+                                if lookups else 0.0}
+
+    def _retrieve_full(self, queries: List[str]) -> List[List[int]]:
+        """Device path: encode + top-max_k for ≤cap queries; one host sync."""
         bsz = pick_bucket(self.batch_buckets, len(queries))
         texts = [QUERY_PREFIX + q for q in queries] + [""] * (bsz - len(queries))
         rows = [self.enc_tok.encode(t) for t in texts]  # tokenize ONCE
@@ -377,10 +435,6 @@ class RagEngine:
         # fully padded rows would make the unmasked mean degenerate; give the
         # pad rows one real token so the forward is well-defined (discarded)
         mask[len(queries):, 0] = 1
-        # hard-clamp k to [1, max_k] (and corpus size): a single compiled top-k
-        # shape serves every request — an attacker-supplied huge k must never
-        # trigger an unbounded recompile (the merge loop unrolls k times)
-        ks = [max(1, min(int(k), self.n_docs, self.max_k)) for k in ks]
         k = self.max_k
         if (self.mesh is not None and self.mesh.devices.size > 1) \
                 or self.corpus_chunks is not None:
@@ -396,7 +450,7 @@ class RagEngine:
                 corpus_scales=self.corpus_scales,
                 corpus_mean=self.corpus_mean)
         idx = np.asarray(idx)  # single device→host transfer
-        return [list(map(int, idx[i, :ks[i]])) for i in range(len(queries))]
+        return [list(map(int, idx[i, :k])) for i in range(len(queries))]
 
     # ------------------------------------------------------------------
     # stage 3: generate
@@ -723,8 +777,12 @@ class RagEngine:
             self.process([long_q] * self.batch_buckets[-1],
                          [1] * self.batch_buckets[-1])
         # warmup stage times are compile times — drop them so the /stats
-        # means reflect serving, not XLA
+        # means reflect serving, not XLA; warmup's synthetic queries likewise
+        # must not pollute the query-cache hit-rate stats
         self.timer.reset()
+        with self._query_cache_lock:
+            self.query_cache_hits = 0
+            self.query_cache_misses = 0
 
     def _warm_generate(self, b: int, plen: int, rng) -> None:
         """One no-prefix generate program at (batch=b, prompt=plen)."""

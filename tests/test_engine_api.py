@@ -435,3 +435,40 @@ def test_sync_finalize_fallback(monkeypatch):
             assert res is not None and res["result"] == f"ans:P:s{i}"
     finally:
         proc.stop()
+
+
+def test_query_cache_exactness_and_lru(monkeypatch):
+    """The exact query-result cache must return bit-identical indices to the
+    uncached path (retrieval is deterministic), dedup in-batch misses, slice
+    per-request k from the cached max_k row, and evict LRU at capacity."""
+    rng = np.random.default_rng(1)
+    docs = [f"Doc {i} about topic {i}." for i in range(30)]
+    emb = rng.standard_normal((30, 64)).astype(np.float32)
+    cached = RagEngine(tiny_settings(query_cache_size=4), docs, emb)
+    monkeypatch.setenv("QUERY_CACHE_SIZE", "0")
+    plain = RagEngine(tiny_settings(query_cache_size=0), docs, emb)
+    assert plain.query_cache_stats() is None
+
+    queries = ["alpha", "beta", "alpha", "gamma"]
+    ks = [1, 2, 3, 4]
+    want = plain.embed_and_retrieve(queries, ks)
+    got = cached.embed_and_retrieve(queries, ks)
+    assert got == want
+    st = cached.query_cache_stats()
+    # first batch: "alpha" repeats in-batch but both rows were misses at
+    # lookup time; the device path ran once per DISTINCT query
+    assert st["misses"] == 4 and st["entries"] == 3
+
+    # steady state: identical batch is all hits, still identical results
+    got2 = cached.embed_and_retrieve(queries, ks)
+    assert got2 == want
+    st = cached.query_cache_stats()
+    assert st["hits"] == 4 and st["misses"] == 4
+
+    # capacity 4: two more distinct queries evict the LRU entries
+    cached.embed_and_retrieve(["delta", "epsilon"], [2, 2])
+    st = cached.query_cache_stats()
+    assert st["entries"] == 4  # alpha evicted (oldest)
+    # evicted query re-misses but stays exact
+    assert cached.embed_and_retrieve(["alpha"], [3]) == \
+        plain.embed_and_retrieve(["alpha"], [3])
