@@ -262,6 +262,7 @@ class RagEngine:
         self.prefix_int8 = False
         from collections import OrderedDict
         self._prefix_tok_cache: OrderedDict = OrderedDict()
+        self._prompt_tok_cache: OrderedDict = OrderedDict()
         self._prefix_tok_lock = threading.Lock()
         # exact query-result cache (see embed_and_retrieve); LRU over exact
         # query text → top-max_k index list
@@ -510,6 +511,27 @@ class RagEngine:
                 self._prefix_tok_cache.popitem(last=False)
         return toks
 
+    def _prompt_tokens(self, text: str) -> list:
+        """Tokenize a full prompt, memoized by the prompt string itself —
+        whenever queries repeat (the common serving regime; both caches
+        above exist because of it) the whole ~100-400-token prompt string
+        repeats too, and tokenization is deterministic, so re-encoding it
+        per batch is pure GIL time on the dispatch thread. Downstream only
+        slices these lists (pad_and_stack / split_prefix_tokens copy), so
+        sharing the cached list is safe."""
+        with self._prefix_tok_lock:
+            toks = self._prompt_tok_cache.get(text)
+            if toks is not None:
+                self._prompt_tok_cache.move_to_end(text)
+                return toks
+        toks = self.dec_tok.encode(text)
+        with self._prefix_tok_lock:
+            self._prompt_tok_cache[text] = toks
+            self._prompt_tok_cache.move_to_end(text)
+            while len(self._prompt_tok_cache) > 4096:
+                self._prompt_tok_cache.popitem(last=False)
+        return toks
+
     def stage_prompts(self, prompts: List[str]):
         """Tokenize, pad, and ship a prompt batch to the DEVICE. Runs on the
         stage-1 (prefetch) thread so the tokenizer work and the host→device
@@ -525,7 +547,7 @@ class RagEngine:
         bsz = pick_bucket(self.batch_buckets, len(prompts))
         n = len(prompts)
         padded = list(prompts) + [""] * (bsz - n)
-        rows = [self.dec_tok.encode(t) for t in padded]  # tokenize ONCE
+        rows = [self._prompt_tokens(t) for t in padded]  # tokenize ONCE, memoized
 
         metas = None
         if (self.prefix_cache is not None
