@@ -17,8 +17,10 @@ from rag_serving_system_tpu.core.request_queue import RequestQueue
 from rag_serving_system_tpu.api.endpoints import create_api, ServerThread
 
 
-@pytest.fixture(scope="module")
-def live_server():
+@pytest.fixture(scope="module", params=["async_finalize", "sync_finalize"])
+def live_server(request, monkeypatch_module):
+    monkeypatch_module.setenv(
+        "FINALIZE_ASYNC", "1" if request.param == "async_finalize" else "0")
     rng = np.random.default_rng(0)
     docs = [f"Fact {i}: value {i}." for i in range(30)]
     emb = rng.standard_normal((30, 64)).astype(np.float32)
@@ -36,6 +38,15 @@ def live_server():
     yield server.url
     processor.stop()
     server.stop()
+
+
+@pytest.fixture(scope="module")
+def monkeypatch_module():
+    from _pytest.monkeypatch import MonkeyPatch
+
+    mp = MonkeyPatch()
+    yield mp
+    mp.undo()
 
 
 def test_concurrent_clients_all_complete(live_server):
