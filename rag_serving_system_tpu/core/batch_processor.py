@@ -146,17 +146,27 @@ class BatchProcessor(threading.Thread):
         """Drain dispatched batches: wait out the device, transfer tokens,
         detokenize, store. The transfer wait releases the GIL, so on a
         single-core host this thread costs only the (small) detok/store CPU
-        while hiding the tunnel round-trip from the dispatch loop."""
-        while self.running or not self._finalize_q.empty():
+        while hiding the tunnel round-trip from the dispatch loop.
+
+        Exits only on the run()-exit sentinel — never on a timing race — so
+        a batch dispatched concurrently with shutdown still gets delivered,
+        and any exception is swallowed here (not just inside
+        _finalize_and_store, whose own error path can throw if the result
+        backend is down): a dead finalize worker would wedge the dispatch
+        loop on the bounded put."""
+        while True:
+            item = self._finalize_q.get()
             try:
-                ids, handle, t0 = self._finalize_q.get(
-                    timeout=self.polling_interval)
-            except queue.Empty:
-                continue
-            try:
+                if item is None:  # shutdown sentinel from run()
+                    return
+                ids, handle, t0 = item
                 self._finalize_and_store(ids, handle)
                 # dispatch→delivered latency of the batch (the /stats gauge)
                 self.last_batch_seconds = time.time() - t0
+                self.batches_processed += 1
+                self.requests_processed += len(ids)
+            except Exception:  # keep the pipeline alive no matter what
+                logger.exception("finalize worker error; batch dropped")
             finally:
                 self._finalize_q.task_done()
 
@@ -197,14 +207,26 @@ class BatchProcessor(threading.Thread):
                     self._busy = True
                     self._process_batch(batch)
                 self._busy = False
-                self.last_batch_seconds = time.time() - t0
-                self.batches_processed += 1
-                self.requests_processed += len(batch)
-                logger.info("processed batch of %d in %.3fs",
-                            len(batch), self.last_batch_seconds)
+                if self.prefetch and self.finalize_async:
+                    # delivered-batch counters and the latency gauge belong
+                    # to the finalize worker in async mode — this loop only
+                    # dispatched
+                    logger.info("dispatched batch of %d in %.3fs",
+                                len(batch), time.time() - t0)
+                else:
+                    self.last_batch_seconds = time.time() - t0
+                    self.batches_processed += 1
+                    self.requests_processed += len(batch)
+                    logger.info("processed batch of %d in %.3fs",
+                                len(batch), self.last_batch_seconds)
             except Exception:  # keep serving no matter what (reference bp.py:68)
                 self._busy = False
                 logger.exception("batch loop error")
+        if self.prefetch and self.finalize_async:
+            # sentinel AFTER the last put (both happen on this thread): the
+            # worker drains every dispatched batch, then exits — no timing
+            # race can strand a batch
+            self._finalize_q.put(None)
         self._flush_pending()  # deliver the last deferred batch on shutdown
         logger.info("BatchProcessor stopped.")
 
@@ -290,10 +312,11 @@ class BatchProcessor(threading.Thread):
                 or self._finalize_q.unfinished_tasks > 0):
             time.sleep(0.02)
         self.running = False
-        # the finalize worker exits once running is False AND its queue is
-        # empty; give dispatched-but-unfinalized batches a bounded window to
-        # deliver (device work already paid — only the transfer remains)
-        deadline = max(deadline, time.time() + min(drain_timeout, 5.0))
+        # dispatched-but-unfinalized batches always get delivered (the
+        # finalize worker only exits on run()'s post-loop sentinel); give
+        # them a bounded window here so results exist when stop() returns
+        # (device work already paid — only the transfer remains)
+        deadline = time.time() + 5.0
         while (time.time() < deadline
                and self._finalize_q.unfinished_tasks > 0):
             time.sleep(0.02)

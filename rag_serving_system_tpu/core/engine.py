@@ -83,7 +83,8 @@ QUERY_PREFIX = "query: "
 # for short-question workloads at the cost of one more compiled program per
 # batch bucket.
 def _parse_len_buckets(spec: str) -> list[int]:
-    return sorted(int(x) for x in spec.split(","))
+    out = sorted(int(x) for x in spec.split(",") if x.strip())
+    return out or [32, 64]
 
 
 SUFFIX_LEN_BUCKETS = _parse_len_buckets(
@@ -519,15 +520,18 @@ class RagEngine:
         per batch is pure GIL time on the dispatch thread. Downstream only
         slices these lists (pad_and_stack / split_prefix_tokens copy), so
         sharing the cached list is safe."""
+        # plain-str key: PromptSpec instances drag prefix_text + cache_key
+        # along (≈2× the prompt bytes per retained entry)
+        key = str(text)
         with self._prefix_tok_lock:
-            toks = self._prompt_tok_cache.get(text)
+            toks = self._prompt_tok_cache.get(key)
             if toks is not None:
-                self._prompt_tok_cache.move_to_end(text)
+                self._prompt_tok_cache.move_to_end(key)
                 return toks
-        toks = self.dec_tok.encode(text)
+        toks = self.dec_tok.encode(key)
         with self._prefix_tok_lock:
-            self._prompt_tok_cache[text] = toks
-            self._prompt_tok_cache.move_to_end(text)
+            self._prompt_tok_cache[key] = toks
+            self._prompt_tok_cache.move_to_end(key)
             while len(self._prompt_tok_cache) > 4096:
                 self._prompt_tok_cache.popitem(last=False)
         return toks
@@ -745,12 +749,20 @@ class RagEngine:
 
         sizes = list(batch_sizes or [self.settings.max_batch_size])
         jobs: list = []   # (label, zero-arg thunk) — independent programs
-        # stage-1 embed+retrieve per (batch, encode-len) bucket
+        # stage-1 embed+retrieve per (batch, encode-len) bucket. The queries
+        # must be DISTINCT per row and per job: the query-result cache dedups
+        # misses and serves repeats from the cache, so `[q] * b` would
+        # collapse every job to a one-query dispatch and the larger encode
+        # batch buckets would never compile (review finding, round 3).
         for b in sizes:
             for elen in self.settings.encode_len_buckets:
-                q = " ".join(f"w{i}" for i in range(max(elen - 8, 2)))
+                # one distinct lead word per (b, elen, row) keeps each row a
+                # fresh cache miss while the shared tail pins the token count
+                # into the elen bucket
+                tail = " ".join(f"w{i}" for i in range(max(elen - 10, 1)))
+                qs = [f"u{b}e{elen}r{r} {tail}" for r in range(b)]
                 jobs.append((f"encode b{b} len{elen}", functools.partial(
-                    self.embed_and_retrieve, [q] * b, [1] * b)))
+                    self.embed_and_retrieve, qs, [1] * b)))
         # FULL-prompt generate per (batch, prompt-len) bucket. Needed
         # whenever a batch takes the no-prefix path: always when the
         # prefix cache is off (~400-token SQuAD contexts → the 448

@@ -465,10 +465,75 @@ def test_query_cache_exactness_and_lru(monkeypatch):
     st = cached.query_cache_stats()
     assert st["hits"] == 4 and st["misses"] == 4
 
-    # capacity 4: two more distinct queries evict the LRU entries
+    # capacity 4: the all-hit batch above move_to_end'ed entries in lookup
+    # order (alpha, beta, alpha, gamma), leaving recency LRU→MRU as
+    # beta, alpha, gamma — so adding delta+epsilon must evict exactly beta
     cached.embed_and_retrieve(["delta", "epsilon"], [2, 2])
     st = cached.query_cache_stats()
-    assert st["entries"] == 4  # alpha evicted (oldest)
-    # evicted query re-misses but stays exact
-    assert cached.embed_and_retrieve(["alpha"], [3]) == \
-        plain.embed_and_retrieve(["alpha"], [3])
+    assert st["entries"] == 4
+    assert set(cached._query_cache) == {"alpha", "gamma", "delta", "epsilon"}
+    # the evicted query re-misses but stays exact
+    misses_before = st["misses"]
+    assert cached.embed_and_retrieve(["beta"], [3]) == \
+        plain.embed_and_retrieve(["beta"], [3])
+    assert cached.query_cache_stats()["misses"] == misses_before + 1
+
+
+def test_warmup_encode_jobs_survive_query_cache():
+    """Warmup's encode jobs must dispatch the device path at EVERY batch
+    bucket even with the query-result cache on — dedup of repeated warmup
+    queries previously collapsed every job to a one-query dispatch, leaving
+    the larger encode buckets uncompiled (mid-serving XLA compile)."""
+    rng = np.random.default_rng(0)
+    docs = [f"Doc {i}." for i in range(20)]
+    emb = rng.standard_normal((20, 64)).astype(np.float32)
+    eng = RagEngine(tiny_settings(batch_buckets=[2, 4], max_batch_size=4),
+                    docs, emb)
+    assert eng._query_cache is not None  # default on
+    seen = []
+    orig = eng._retrieve_full
+
+    def spy(queries):
+        seen.append(pick_bucket(eng.batch_buckets, len(queries)))
+        return orig(queries)
+
+    eng._retrieve_full = spy
+    eng.warmup([2, 4])
+    assert {2, 4} <= set(seen), seen
+
+
+def test_finalize_worker_survives_store_failure():
+    """A result-backend failure inside the finalize stage must not kill the
+    finalize worker — a dead worker wedges the dispatch loop on the bounded
+    queue and the processor stops serving forever."""
+    class _FlakyQueue(RequestQueue):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.fail_next = 0
+
+        def store_result(self, rid, result):
+            if self.fail_next > 0:
+                self.fail_next -= 1
+                raise ConnectionError("backend down")
+            super().store_result(rid, result)
+
+    q = _FlakyQueue(max_batch_size=2, max_wait_time=0.02,
+                    polling_interval=0.01)
+    proc = BatchProcessor(q, _StubEngine(), polling_interval=0.01)
+    assert proc.finalize_async
+    proc.start()
+    try:
+        # both store attempts of the first batch fail (result path AND the
+        # error fan-out path) — the worker must swallow it and keep going
+        q.fail_next = 4
+        lost = [q.add_request("l0", 1), q.add_request("l1", 1)]
+        time.sleep(0.5)
+        q.fail_next = 0
+        rids = [q.add_request(f"q{i}", 1) for i in range(6)]
+        for i, rid in enumerate(rids):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None and res["result"] == f"ans:P:q{i}"
+        for rid in lost:  # dropped, but the pipeline survived
+            assert q.get_result(rid, timeout=0.1) is None
+    finally:
+        proc.stop()
