@@ -131,6 +131,10 @@ def create_api(request_queue, processor=None, engine=None,
             body["batches_processed"] = processor.batches_processed
             body["requests_processed"] = processor.requests_processed
             body["last_batch_seconds"] = processor.last_batch_seconds
+            # pipeline depth: batches staged by stage-1 workers awaiting
+            # dispatch, and dispatched batches awaiting the finalize worker
+            body["ready_backlog"] = processor._ready.qsize()
+            body["finalize_backlog"] = processor._finalize_q.qsize()
         if engine is not None:
             body["stages"] = engine.timer.summary()
             if getattr(engine, "prefix_cache", None) is not None:
