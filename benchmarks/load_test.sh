@@ -59,7 +59,20 @@ for RPS in $(rps_ladder); do
     SEED=$((SEED_BASE + i))
     OUT_JSON="$OUT_DIR/${PATTERN}_rps${RPS}.json"
     echo "=== pattern=$PATTERN rps=$RPS seed=$SEED duration=${DURATION}s ==="
-    python benchmarks/load_generator.py \
+    # LOADGEN=native uses the C++ epoll client (benchmarks/loadgen_native.cc;
+    # same flags/trace semantics/output schema). On the single-core
+    # measurement host the asyncio client costs a large fraction of the CPU
+    # at high RPS — the native client saturates a null server at ~1860 rps
+    # vs ~720 for the asyncio one, so rungs past ~500 measure the SERVER
+    # only with LOADGEN=native.
+    if [ "${LOADGEN:-python}" = "native" ]; then
+      [ -x benchmarks/loadgen_native ] || \
+        g++ -O2 -std=c++17 -o benchmarks/loadgen_native benchmarks/loadgen_native.cc
+      LOADGEN_CMD=(benchmarks/loadgen_native)
+    else
+      LOADGEN_CMD=(python benchmarks/load_generator.py)
+    fi
+    "${LOADGEN_CMD[@]}" \
       --endpoint "$ENDPOINT" --pattern "$PATTERN" --rps "$RPS" \
       --duration "$DURATION" --seed "$SEED" --timeout "$TIMEOUT" \
       --query-sample "${QUERY_SAMPLE:-cycle}" \

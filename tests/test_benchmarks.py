@@ -77,3 +77,119 @@ def test_collector_save(tmp_path):
     saved = c.save_results(str(out))
     import json
     assert json.loads(out.read_text()) == saved
+
+
+# ---------------------------------------------------------------------------
+# native load generator (benchmarks/loadgen_native.cc)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def native_loadgen(tmp_path_factory):
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ not available")
+    binary = tmp_path_factory.mktemp("lgn") / "loadgen_native"
+    subprocess.run(["g++", "-O2", "-std=c++17", "-o", str(binary),
+                    "benchmarks/loadgen_native.cc"], check=True)
+    return str(binary)
+
+
+@pytest.fixture(scope="module")
+def stub_rag_server():
+    """Real serving stack over a stub engine: the full queue→processor→API
+    loop, so the native client exercises POST + poll + result consumption."""
+    from rag_serving_system_tpu.api.endpoints import ServerThread, create_api
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+
+    class _Stub:
+        def prepare(self, queries, ks):
+            return list(queries)
+
+        def generate_tokens(self, prompts, staged=None):
+            return list(prompts)
+
+        def finalize_tokens(self, handle):
+            return [f"ans:{p}" for p in handle]
+
+        def generate_answers(self, prompts):
+            return self.finalize_tokens(prompts)
+
+    q = RequestQueue(max_batch_size=8, max_wait_time=0.02,
+                     polling_interval=0.01)
+    proc = BatchProcessor(q, _Stub(), polling_interval=0.01)
+    proc.start()
+    server = ServerThread(create_api(q, proc)).start()
+    yield server.url
+    proc.stop()
+    server.stop()
+
+
+def test_native_loadgen_end_to_end(native_loadgen, stub_rag_server, tmp_path):
+    """The C++ client must drive the real API loop and emit the collector's
+    JSON schema with all requests succeeding."""
+    import json
+    import subprocess
+
+    qfile = tmp_path / "queries.json"
+    qfile.write_text(json.dumps(
+        [f"query with \"quotes\" and unicode \\u00e9 number {i}"
+         for i in range(7)]))
+    out = tmp_path / "out.json"
+    r = subprocess.run(
+        [native_loadgen, "--endpoint", stub_rag_server, "--pattern", "uniform",
+         "--rps", "25", "--duration", "3", "--seed", "5", "--timeout", "20",
+         "--poll-interval", "0.05", "--queries-file", str(qfile),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    m = json.loads(out.read_text())
+    assert m["total_requests"] == 75
+    assert m["successful_requests"] == 75 and m["failed_requests"] == 0
+    for key in ("duration_seconds", "throughput_rps",
+                "successful_throughput_rps"):
+        assert key in m
+    lat = m["latency"]
+    assert 0 < lat["min"] <= lat["p50"] <= lat["p95"] <= lat["p99"] <= lat["max"]
+
+
+def test_native_loadgen_counts_timeouts_as_failures(native_loadgen, tmp_path):
+    """Against a server that never completes results, every request must be
+    recorded as failed once its timeout expires (no hang)."""
+    import json
+    import subprocess
+
+    from aiohttp import web
+
+    from rag_serving_system_tpu.api.endpoints import ServerThread
+
+    app = web.Application()
+
+    async def rag(request):
+        await request.json()
+        return web.json_response({"request_id": "r1", "status": "processing"})
+
+    async def result(request):
+        return web.json_response({"status": "processing"})
+
+    app.router.add_post("/rag", rag)
+    app.router.add_get("/rag/result/{rid}", result)
+    server = ServerThread(app).start()
+    try:
+        qfile = tmp_path / "queries.json"
+        qfile.write_text(json.dumps(["q"]))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [native_loadgen, "--endpoint", server.url, "--pattern", "uniform",
+             "--rps", "5", "--duration", "2", "--seed", "1", "--timeout", "1",
+             "--poll-interval", "0.05", "--queries-file", str(qfile),
+             "--output", str(out)],
+            capture_output=True, text=True, timeout=60)
+        assert r.returncode == 0, r.stderr
+        m = json.loads(out.read_text())
+        assert m["total_requests"] == 10
+        assert m["failed_requests"] == 10 and m["successful_requests"] == 0
+    finally:
+        server.stop()
