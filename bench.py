@@ -77,6 +77,45 @@ def build_corpus(n_docs: int, dim: int, config: str = "short_facts"):
     return facts, emb
 
 
+def _wait_for_backend() -> None:
+    """The remote TPU backend can be transiently DOWN (observed: a ~20 min
+    hang inside jax.devices() followed by UNAVAILABLE, for hours). Probe it
+    in SUBPROCESSES with a hard timeout and retry for up to
+    BENCH_DEVICE_WAIT seconds before importing jax here, so an outage at
+    bench time retries instead of hanging this process or recording a
+    garbage run. Skipped when a CPU backend is forced (tests)."""
+    import subprocess
+
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", "")
+                 or os.environ.get("JAX_SERVE_PLATFORM", "")):
+        return
+    if os.environ.get("BENCH_MODE") == "tiny":
+        return  # CI smoke runs force the CPU backend in-process
+    if "jax" in sys.modules:
+        import jax
+        if jax.config.jax_platforms and "cpu" in jax.config.jax_platforms:
+            return  # caller forced CPU via jax.config (tests)
+    budget = float(os.environ.get("BENCH_DEVICE_WAIT", "1800"))
+    deadline = time.time() + budget
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=300, check=True, capture_output=True)
+            return
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            if time.time() >= deadline:
+                print(f"[bench] device backend unavailable after "
+                      f"{attempt} probes over {budget:.0f}s; proceeding "
+                      f"(main init may fail)", file=sys.stderr)
+                return
+            print(f"[bench] device probe {attempt} failed; retrying",
+                  file=sys.stderr)
+            time.sleep(30)
+
+
 def main() -> None:
     from rag_serving_system_tpu.config import Settings
 
@@ -112,6 +151,8 @@ def main() -> None:
         max_k=16,
         max_batch_size=batch,
     )
+
+    _wait_for_backend()
 
     import jax
     import numpy as np
