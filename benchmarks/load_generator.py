@@ -61,12 +61,23 @@ async def send_request(session, endpoint: str, query: str, k: int,
     metrics.record_request_start(req_id)
     deadline = time.time() + timeout
     try:
-        async with session.post(f"{endpoint}/rag",
+        # LOADGEN_SYNC_WAIT=N uses the synchronous POST extension
+        # (?wait=N returns the completed result in one exchange); default
+        # keeps the reference's submit→poll protocol
+        sync_wait = float(os.environ.get("LOADGEN_SYNC_WAIT", "0"))
+        post_url = (f"{endpoint}/rag?wait={sync_wait}" if sync_wait > 0
+                    else f"{endpoint}/rag")
+        async with session.post(post_url,
                                 json={"query": query, "k": k}) as resp:
             if resp.status != 200:
                 metrics.record_request_end(req_id, False)
                 return
             body = await resp.json()
+            if body.get("status") == "complete":
+                result = body.get("result") or {}
+                ok = isinstance(result, dict) and "error" not in result
+                metrics.record_request_end(req_id, ok)
+                return
             request_id = body["request_id"]
         # opt-in server-side long-poll (extension; default 0 keeps the
         # reference's client-side polling protocol)

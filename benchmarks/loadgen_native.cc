@@ -261,10 +261,16 @@ int main(int argc, char** argv) {
 
   char polltimeout[64] = "";
   if (server_poll > 0) snprintf(polltimeout, sizeof polltimeout, "?timeout=%g", server_poll);
+  // LOADGEN_SYNC_WAIT=N: synchronous POST extension — ?wait=N returns the
+  // completed result in the POST exchange (one HTTP round trip per request)
+  double sync_wait = 0.0;
+  if (const char* e = getenv("LOADGEN_SYNC_WAIT")) sync_wait = atof(e);
+  char postpath[64] = "/rag";
+  if (sync_wait > 0) snprintf(postpath, sizeof postpath, "/rag?wait=%g", sync_wait);
 
   auto build_post = [&](const Request& r) {
     std::string body = "{\"query\": \"" + *r.query + "\", \"k\": " + std::to_string(k) + "}";
-    std::string msg = "POST /rag HTTP/1.1\r\nHost: " + host +
+    std::string msg = "POST " + std::string(postpath) + " HTTP/1.1\r\nHost: " + host +
                       "\r\nContent-Type: application/json\r\nContent-Length: " +
                       std::to_string(body.size()) + "\r\nConnection: keep-alive\r\n\r\n" + body;
     return msg;
@@ -412,8 +418,13 @@ int main(int argc, char** argv) {
             c.inbuf.clear();
             idle_conns.push_back(ci);
             if (r.phase == Phase::POST) {
+              bool done = status == 200 &&
+                          (body.find("\"status\": \"complete\"") != std::string::npos ||
+                           body.find("\"status\":\"complete\"") != std::string::npos);
               std::string rid = status == 200 ? json_str_field(body, "request_id") : "";
-              if (rid.empty()) {
+              if (done) {  // synchronous POST (?wait=) completed in-exchange
+                finish(ri, body.find("\"error\"") == std::string::npos);
+              } else if (rid.empty()) {
                 finish(ri, false);
               } else {
                 r.request_id = rid;

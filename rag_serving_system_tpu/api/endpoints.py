@@ -59,6 +59,21 @@ def create_api(request_queue, processor=None, engine=None,
                 {"detail": "queue full", "status": "rejected"}, status=503)
         request_id = request_queue.add_request(payload.query, payload.k)
         requests_total_c.inc()
+        # synchronous extension: POST /rag?wait=SECONDS holds the connection
+        # and returns the COMPLETED result in this same exchange (one HTTP
+        # round trip per request instead of POST + N result polls — on a
+        # shared-core host the API layer's per-request cost drops ~3×).
+        # Default wait=0 keeps the reference's async submit→poll protocol.
+        try:
+            wait = min(float(request.query.get("wait", 0)), 30.0)
+        except ValueError:
+            wait = 0.0
+        if wait > 0:
+            result = await _await_result(request_id, wait)
+            if result is not None:
+                return web.json_response(
+                    {"request_id": request_id, "status": "complete",
+                     "result": result})
         return web.json_response({"request_id": request_id, "status": "processing"})
 
     # in-memory backend: push notification → zero held threads per waiter,
@@ -71,16 +86,9 @@ def create_api(request_queue, processor=None, engine=None,
     poll_pool = None if supports_push else ThreadPoolExecutor(
         max_workers=256, thread_name_prefix="result-poll")
 
-    async def get_result(request: web.Request) -> web.Response:
-        request_id = request.match_info["request_id"]
-        # optional server-side long-poll (?timeout=SECONDS, capped at 30):
-        # one held connection instead of 3-4 client poll round trips.
-        # Default stays the reference's 0.1 s quick check.
-        try:
-            timeout = min(float(request.query.get("timeout", 0.1)), 30.0)
-        except ValueError:
-            timeout = 0.1
-
+    async def _await_result(request_id: str, timeout: float):
+        """Wait for a result: push-notified asyncio future on the in-memory
+        backend (zero held threads), executor-poll on Redis."""
         if supports_push:
             loop = asyncio.get_running_loop()
             fut: asyncio.Future = loop.create_future()
@@ -100,9 +108,20 @@ def create_api(request_queue, processor=None, engine=None,
                 # pop whether notified or raced-at-timeout; the callback is
                 # notification-only, so the result (if any) is still stored
                 result = request_queue.get_result(request_id, timeout=0)
-        else:
-            result = await asyncio.get_event_loop().run_in_executor(
-                poll_pool, lambda: request_queue.get_result(request_id, timeout))
+            return result
+        return await asyncio.get_event_loop().run_in_executor(
+            poll_pool, lambda: request_queue.get_result(request_id, timeout))
+
+    async def get_result(request: web.Request) -> web.Response:
+        request_id = request.match_info["request_id"]
+        # optional server-side long-poll (?timeout=SECONDS, capped at 30):
+        # one held connection instead of 3-4 client poll round trips.
+        # Default stays the reference's 0.1 s quick check.
+        try:
+            timeout = min(float(request.query.get("timeout", 0.1)), 30.0)
+        except ValueError:
+            timeout = 0.1
+        result = await _await_result(request_id, timeout)
         if result is None:
             return web.json_response({"status": "processing"})
         return web.json_response({"status": "complete", "result": result})

@@ -193,3 +193,27 @@ def test_native_loadgen_counts_timeouts_as_failures(native_loadgen, tmp_path):
         assert m["failed_requests"] == 10 and m["successful_requests"] == 0
     finally:
         server.stop()
+
+
+def test_native_loadgen_sync_post_mode(native_loadgen, stub_rag_server, tmp_path):
+    """LOADGEN_SYNC_WAIT: the native client completes each request in the
+    POST exchange (?wait=) with zero result polls."""
+    import json
+    import os
+    import subprocess
+
+    qfile = tmp_path / "queries.json"
+    qfile.write_text(json.dumps(["sync query"]))
+    out = tmp_path / "out.json"
+    env = dict(os.environ, LOADGEN_SYNC_WAIT="10")
+    r = subprocess.run(
+        [native_loadgen, "--endpoint", stub_rag_server, "--pattern", "uniform",
+         "--rps", "20", "--duration", "2", "--seed", "1", "--timeout", "20",
+         "--queries-file", str(qfile), "--output", str(out)],
+        capture_output=True, text=True, timeout=60, env=env)
+    assert r.returncode == 0, r.stderr
+    m = json.loads(out.read_text())
+    assert m["successful_requests"] == 40 and m["failed_requests"] == 0
+    # sync exchanges return as soon as the batch completes — no 0.3 s poll
+    # quantization in the latency floor
+    assert m["latency"]["p50"] < 0.25

@@ -537,3 +537,38 @@ def test_finalize_worker_survives_store_failure():
             assert q.get_result(rid, timeout=0.1) is None
     finally:
         proc.stop()
+
+
+def test_sync_post_returns_completed_result(serving_stack):
+    """POST /rag?wait=N (synchronous extension) must return the completed
+    result in the POST exchange itself; wait=0 keeps the async protocol."""
+    client, _, _ = serving_stack
+    body = client.post("/rag?wait=20", json={"query": "sync wait?", "k": 1}).json()
+    assert body["status"] == "complete", body
+    assert "result" in body and "request_id" in body
+    # the result was consumed by the sync response (consume-once)
+    assert client.get(f"/rag/result/{body['request_id']}").json() == \
+        {"status": "processing"}
+
+
+def test_sync_post_times_out_to_async_protocol():
+    """When the result isn't ready within ?wait=, the response degrades to
+    the async contract (request_id + processing) and the request is still
+    served later."""
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.2, polling_interval=0.02)
+    app = create_api(q)  # no processor draining yet
+    server = ServerThread(app).start()
+    try:
+        client = _Client(server.url)
+        body = client.post("/rag?wait=0.2", json={"query": "slow", "k": 1}).json()
+        assert body["status"] == "processing" and "request_id" in body
+        # a processor comes up and drains the queued request
+        proc = BatchProcessor(q, _StubEngine(), polling_interval=0.02)
+        proc.start()
+        try:
+            r = client.get(f"/rag/result/{body['request_id']}?timeout=10").json()
+            assert r["status"] == "complete"
+        finally:
+            proc.stop()
+    finally:
+        server.stop()
