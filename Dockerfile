@@ -13,10 +13,16 @@ COPY rag_serving_system_tpu/ rag_serving_system_tpu/
 COPY main.py bench.py ./
 COPY data/ data/
 COPY scripts/ scripts/
+COPY benchmarks/ benchmarks/
 # native host-path components are always built from source in-image
-# (the .so is never shipped; see rag_serving_system_tpu/native/build.sh)
-RUN rm -f rag_serving_system_tpu/native/*.so \
-    && bash rag_serving_system_tpu/native/build.sh
+# (the .so is never shipped; see rag_serving_system_tpu/native/build.sh);
+# the slim base has no toolchain, so install one for the build layer
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends gcc g++ \
+    && rm -f rag_serving_system_tpu/native/*.so \
+    && bash rag_serving_system_tpu/native/build.sh \
+    && apt-get purge -y gcc g++ && apt-get autoremove -y \
+    && rm -rf /var/lib/apt/lists/*
 
 # Pre-download HF snapshots at build time when network is available
 # (reference Dockerfile:15-21); at runtime WEIGHTS_DIR/HF cache is probed and

@@ -10,5 +10,7 @@ $CC -O2 -shared -fPIC -o libhashtok.so hashtok.c
 echo "built $(pwd)/libhashtok.so"
 $CXX -O2 -std=c++17 -o miniredis miniredis.cc
 echo "built $(pwd)/miniredis"
-$CXX -O2 -std=c++17 -o ../../benchmarks/loadgen_native ../../benchmarks/loadgen_native.cc
-echo "built $(cd ../../benchmarks && pwd)/loadgen_native"
+if [ -f ../../benchmarks/loadgen_native.cc ]; then
+  $CXX -O2 -std=c++17 -o ../../benchmarks/loadgen_native ../../benchmarks/loadgen_native.cc
+  echo "built $(cd ../../benchmarks && pwd)/loadgen_native"
+fi
