@@ -66,8 +66,11 @@ for RPS in $(rps_ladder); do
     # vs ~720 for the asyncio one, so rungs past ~500 measure the SERVER
     # only with LOADGEN=native.
     if [ "${LOADGEN:-python}" = "native" ]; then
-      [ -x benchmarks/loadgen_native ] || \
+      # rebuild when missing OR stale relative to the source
+      if [ ! -x benchmarks/loadgen_native ] || \
+         [ benchmarks/loadgen_native.cc -nt benchmarks/loadgen_native ]; then
         g++ -O2 -std=c++17 -o benchmarks/loadgen_native benchmarks/loadgen_native.cc
+      fi
       LOADGEN_CMD=(benchmarks/loadgen_native)
     else
       LOADGEN_CMD=(python benchmarks/load_generator.py)

@@ -39,6 +39,7 @@
 #include <unistd.h>
 
 #include <algorithm>
+#include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -84,6 +85,43 @@ static std::vector<std::string> parse_string_array(const std::string& text) {
     i++;
   }
   return out;
+}
+
+// Does the top-level of the "result" object carry an "error" key? Mirrors
+// the Python client's `ok = "error" not in result` (top-level dict key, NOT
+// a substring match — generated answer text may legitimately contain the
+// word in quotes).
+static bool result_has_error_key(const std::string& body) {
+  size_t p = body.find("\"result\"");
+  if (p == std::string::npos) return false;
+  p = body.find(':', p + 8);
+  if (p == std::string::npos) return false;
+  while (++p < body.size() && isspace((unsigned char)body[p])) {}
+  if (p >= body.size() || body[p] != '{') return false;  // result not a dict
+  int depth = 1;
+  size_t i = p + 1;
+  while (i < body.size() && depth > 0) {
+    char ch = body[i];
+    if (ch == '"') {
+      size_t start = ++i;
+      while (i < body.size()) {
+        if (body[i] == '\\') { i += 2; continue; }
+        if (body[i] == '"') break;
+        i++;
+      }
+      std::string tok = body.substr(start, i - start);
+      i++;
+      size_t j = i;
+      while (j < body.size() && isspace((unsigned char)body[j])) j++;
+      if (depth == 1 && j < body.size() && body[j] == ':' && tok == "error")
+        return true;
+      continue;
+    }
+    if (ch == '{' || ch == '[') depth++;
+    else if (ch == '}' || ch == ']') depth--;
+    i++;
+  }
+  return false;
 }
 
 // Find "key": "value" and return value (raw form), or "" if absent.
@@ -139,6 +177,7 @@ int main(int argc, char** argv) {
   long seed = -1;
   double timeout = 60.0, poll_interval = 0.3;
   std::string queries_file = "data/short_facts_queries.json";
+  if (const char* e = getenv("DOCUMENT_QUERIES_FILE")) queries_file = e;
   std::string query_sample = "cycle";
   std::string output;
   int pool_size = 256;
@@ -300,6 +339,31 @@ int main(int argc, char** argv) {
     if (c.fd < 0) conn_connect(ci);
   };
 
+  // Connection failure (RST, EOF, refused): close the socket and, if a
+  // request was in flight, fail it at its deadline or re-queue it through
+  // the timer wheel with a small backoff (a tight reconnect loop against a
+  // down server would peg the very core this tool exists to spare). An
+  // idle conn is ALREADY in idle_conns — no re-push (double-entry would
+  // hand one Conn slot to two requests and lose one).
+  auto conn_fail = [&](int ci) {
+    Conn& c = conns[ci];
+    if (c.fd >= 0) {
+      epoll_ctl(ep, EPOLL_CTL_DEL, c.fd, nullptr);
+      close(c.fd);
+      c.fd = -1;
+    }
+    c.connected = false;
+    c.inbuf.clear();
+    if (c.req >= 0) {
+      int ri = c.req;
+      c.req = -1;
+      c.outbuf.clear();
+      idle_conns.push_back(ci);
+      if (now_s() > reqs[ri].deadline) finish(ri, false);
+      else timers.push({now_s() + 0.05, ri});  // retry, 50 ms backoff
+    }
+  };
+
   auto pump_dispatch = [&]() {
     while (!dispatch_q.empty() && !idle_conns.empty()) {
       int ri = dispatch_q.front();
@@ -325,6 +389,7 @@ int main(int argc, char** argv) {
   }
 
   std::vector<struct epoll_event> evs(256);
+  double last_deadline_scan = 0;
   while (completed < total) {
     double now = now_s();
     // 1) move due trace sends into the dispatch queue
@@ -360,21 +425,7 @@ int main(int argc, char** argv) {
       Conn& c = conns[ci];
       if (c.fd < 0) continue;
       if (evs[e].events & (EPOLLERR | EPOLLHUP)) {
-        // connection died: retry the in-flight request on a fresh socket
-        epoll_ctl(ep, EPOLL_CTL_DEL, c.fd, nullptr);
-        close(c.fd);
-        c.fd = -1;
-        if (c.req >= 0) {
-          if (now_s() > reqs[c.req].deadline) {
-            finish(c.req, false);
-            c.req = -1;
-            idle_conns.push_back(ci);
-          } else {
-            issue_on_conn(ci, c.req);  // reconnect + resend
-          }
-        } else {
-          idle_conns.push_back(ci);
-        }
+        conn_fail(ci);
         continue;
       }
       if (evs[e].events & EPOLLOUT) {
@@ -388,14 +439,12 @@ int main(int argc, char** argv) {
       }
       if (evs[e].events & EPOLLIN) {
         char buf[8192];
+        bool died = false;
         for (;;) {
           ssize_t r = recv(c.fd, buf, sizeof buf, 0);
           if (r > 0) { c.inbuf.append(buf, (size_t)r); continue; }
           if (r < 0 && (errno == EAGAIN || errno == EWOULDBLOCK)) break;
-          // r==0 EOF or hard error: treat like EPOLLHUP above
-          epoll_ctl(ep, EPOLL_CTL_DEL, c.fd, nullptr);
-          close(c.fd);
-          c.fd = -1;
+          died = true;  // r==0 EOF (keep-alive close race) or hard error
           break;
         }
         // complete response? (headers + content-length body)
@@ -423,7 +472,7 @@ int main(int argc, char** argv) {
                            body.find("\"status\":\"complete\"") != std::string::npos);
               std::string rid = status == 200 ? json_str_field(body, "request_id") : "";
               if (done) {  // synchronous POST (?wait=) completed in-exchange
-                finish(ri, body.find("\"error\"") == std::string::npos);
+                finish(ri, !result_has_error_key(body));
               } else if (rid.empty()) {
                 finish(ri, false);
               } else {
@@ -438,8 +487,7 @@ int main(int argc, char** argv) {
                 complete = status == 200 &&
                            body.find("\"status\":\"complete\"") != std::string::npos;
               if (complete) {
-                bool ok = body.find("\"error\"") == std::string::npos;
-                finish(ri, ok);
+                finish(ri, !result_has_error_key(body));
               } else if (now_s() > r.deadline) {
                 finish(ri, false);
               } else {
@@ -448,6 +496,31 @@ int main(int argc, char** argv) {
             }
             pump_dispatch();
           }
+        }
+        // EOF/hard error with no (complete) response: recover the request
+        // like EPOLLHUP — a request must never be stranded on a dead socket
+        if (died) conn_fail(ci);
+      }
+    }
+    // deadline sweep for in-flight requests: an accepted-but-unresponsive
+    // server (the overload regime this tool measures) otherwise never
+    // triggers any of the event-driven deadline checks and the run hangs
+    if (now - last_deadline_scan > 0.5) {
+      last_deadline_scan = now;
+      for (int ci2 = 0; ci2 < pool_size; ci2++) {
+        Conn& c2 = conns[ci2];
+        if (c2.req >= 0 && now > reqs[c2.req].deadline + 1.0) {
+          int ri = c2.req;
+          c2.req = -1;
+          if (c2.fd >= 0) {
+            epoll_ctl(ep, EPOLL_CTL_DEL, c2.fd, nullptr);
+            close(c2.fd);
+            c2.fd = -1;
+          }
+          c2.connected = false;
+          c2.inbuf.clear();
+          idle_conns.push_back(ci2);
+          finish(ri, false);
         }
       }
     }

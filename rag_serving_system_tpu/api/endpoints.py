@@ -152,8 +152,8 @@ def create_api(request_queue, processor=None, engine=None,
             body["last_batch_seconds"] = processor.last_batch_seconds
             # pipeline depth: batches staged by stage-1 workers awaiting
             # dispatch, and dispatched batches awaiting the finalize worker
-            body["ready_backlog"] = processor._ready.qsize()
-            body["finalize_backlog"] = processor._finalize_q.qsize()
+            body["ready_backlog"] = getattr(processor, "ready_backlog", 0)
+            body["finalize_backlog"] = getattr(processor, "finalize_backlog", 0)
         if engine is not None:
             body["stages"] = engine.timer.summary()
             if getattr(engine, "prefix_cache", None) is not None:

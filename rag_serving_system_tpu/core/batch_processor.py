@@ -82,6 +82,16 @@ class BatchProcessor(threading.Thread):
         self.requests_processed = 0
         self.last_batch_seconds = 0.0
 
+    @property
+    def ready_backlog(self) -> int:
+        """Batches staged by stage-1 workers, awaiting dispatch."""
+        return self._ready.qsize()
+
+    @property
+    def finalize_backlog(self) -> int:
+        """Dispatched batches awaiting the finalize worker (async mode)."""
+        return self._finalize_q.qsize()
+
     def _prefetch_loop(self, ready: "queue.Queue") -> None:
         """Form the next batch AND run pipeline stage 1 (embed + retrieve +
         prompt build) while the main thread generates the current batch.

@@ -217,3 +217,77 @@ def test_native_loadgen_sync_post_mode(native_loadgen, stub_rag_server, tmp_path
     # sync exchanges return as soon as the batch completes — no 0.3 s poll
     # quantization in the latency floor
     assert m["latency"]["p50"] < 0.25
+
+
+def test_native_loadgen_unresponsive_server_hits_deadline(native_loadgen, tmp_path):
+    """A server that ACCEPTS connections but never responds (the overload
+    regime) must not hang the client: the deadline sweep fails every
+    in-flight request at its timeout."""
+    import json
+    import socket
+    import subprocess
+    import threading
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(64)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def sink():
+        srv.settimeout(0.2)
+        held = []
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+                held.append(conn)  # accept and hold, never respond
+            except socket.timeout:
+                continue
+
+    t = threading.Thread(target=sink, daemon=True)
+    t.start()
+    try:
+        qfile = tmp_path / "queries.json"
+        qfile.write_text(json.dumps(["q"]))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [native_loadgen, "--endpoint", f"http://127.0.0.1:{port}",
+             "--pattern", "uniform", "--rps", "5", "--duration", "1",
+             "--seed", "1", "--timeout", "1", "--queries-file", str(qfile),
+             "--output", str(out)],
+            capture_output=True, text=True, timeout=30)
+        assert r.returncode == 0, r.stderr
+        m = json.loads(out.read_text())
+        assert m["total_requests"] == 5
+        assert m["failed_requests"] == 5
+    finally:
+        stop.set()
+        srv.close()
+
+
+def test_native_loadgen_connection_refused_fails_fast(native_loadgen, tmp_path):
+    """A down server (connection refused) must produce failures, not a hang
+    or a reconnect busy-loop that outlives the deadline."""
+    import json
+    import socket
+    import subprocess
+    import time
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()  # nothing listens here now
+    qfile = tmp_path / "queries.json"
+    qfile.write_text(json.dumps(["q"]))
+    out = tmp_path / "out.json"
+    t0 = time.time()
+    r = subprocess.run(
+        [native_loadgen, "--endpoint", f"http://127.0.0.1:{port}",
+         "--pattern", "uniform", "--rps", "5", "--duration", "1",
+         "--seed", "1", "--timeout", "1", "--queries-file", str(qfile),
+         "--output", str(out)],
+        capture_output=True, text=True, timeout=30)
+    assert r.returncode == 0, r.stderr
+    m = json.loads(out.read_text())
+    assert m["failed_requests"] == 5 and m["successful_requests"] == 0
+    assert time.time() - t0 < 15
