@@ -100,10 +100,14 @@ def _wait_for_backend() -> None:
     attempt = 0
     while True:
         attempt += 1
+        # probe timeout stays inside the remaining budget so small
+        # BENCH_DEVICE_WAIT values are honored (a hanging backend would
+        # otherwise pin the first probe for its full 300 s)
+        probe_t = min(300.0, max(5.0, deadline - time.time()))
         try:
             subprocess.run(
                 [sys.executable, "-c", "import jax; jax.devices()"],
-                timeout=300, check=True, capture_output=True)
+                timeout=probe_t, check=True, capture_output=True)
             return
         except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
             if time.time() >= deadline:
@@ -113,7 +117,7 @@ def _wait_for_backend() -> None:
                 return
             print(f"[bench] device probe {attempt} failed; retrying",
                   file=sys.stderr)
-            time.sleep(30)
+            time.sleep(min(30.0, max(0.0, deadline - time.time())))
 
 
 def main() -> None:

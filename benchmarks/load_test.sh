@@ -62,7 +62,7 @@ for RPS in $(rps_ladder); do
     # LOADGEN=native uses the C++ epoll client (benchmarks/loadgen_native.cc;
     # same flags/trace semantics/output schema). On the single-core
     # measurement host the asyncio client costs a large fraction of the CPU
-    # at high RPS — the native client saturates a null server at ~1860 rps
+    # at high RPS — the native client saturates a null server at ~1940 rps
     # vs ~720 for the asyncio one, so rungs past ~500 measure the SERVER
     # only with LOADGEN=native.
     if [ "${LOADGEN:-python}" = "native" ]; then

@@ -182,6 +182,8 @@ int main(int argc, char** argv) {
   std::string output;
   int pool_size = 256;
   if (const char* e = getenv("LOADGEN_CONNECTIONS")) pool_size = atoi(e);
+  if (pool_size < 1) pool_size = 1;        // 0/garbage would hang the loop
+  if (pool_size > 4096) pool_size = 4096;
   double server_poll = 0.0;
   if (const char* e = getenv("LOADGEN_SERVER_TIMEOUT")) server_poll = atof(e);
   if (const char* e = getenv("POLLING_INTERVAL")) poll_interval = atof(e);
@@ -339,12 +341,15 @@ int main(int argc, char** argv) {
     if (c.fd < 0) conn_connect(ci);
   };
 
-  // Connection failure (RST, EOF, refused): close the socket and, if a
-  // request was in flight, fail it at its deadline or re-queue it through
-  // the timer wheel with a small backoff (a tight reconnect loop against a
-  // down server would peg the very core this tool exists to spare). An
-  // idle conn is ALREADY in idle_conns — no re-push (double-entry would
-  // hand one Conn slot to two requests and lose one).
+  // Connection failure (RST, EOF, refused): close the socket; a POST-phase
+  // request FAILS (matching the asyncio client, which fails any request
+  // whose POST hits a connection error — and re-POSTing could duplicate
+  // server-side work if the request was already received), while a
+  // POLL-phase request retries its idempotent GET through the timer wheel
+  // with a small backoff (a tight reconnect loop against a down server
+  // would peg the very core this tool exists to spare). An idle conn is
+  // ALREADY in idle_conns — no re-push (double-entry would hand one Conn
+  // slot to two requests and lose one).
   auto conn_fail = [&](int ci) {
     Conn& c = conns[ci];
     if (c.fd >= 0) {
@@ -359,8 +364,10 @@ int main(int argc, char** argv) {
       c.req = -1;
       c.outbuf.clear();
       idle_conns.push_back(ci);
-      if (now_s() > reqs[ri].deadline) finish(ri, false);
-      else timers.push({now_s() + 0.05, ri});  // retry, 50 ms backoff
+      if (reqs[ri].phase == Phase::POST || now_s() > reqs[ri].deadline)
+        finish(ri, false);
+      else
+        timers.push({now_s() + 0.05, ri});  // re-poll, 50 ms backoff
     }
   };
 

@@ -85,6 +85,12 @@ def create_api(request_queue, processor=None, engine=None,
     # push-capable in-memory backend never submits here, so don't build it.
     poll_pool = None if supports_push else ThreadPoolExecutor(
         max_workers=256, thread_name_prefix="result-poll")
+    # Redis backend: each long wait blocks one pool thread for its full
+    # duration, so long waiters are capped below the pool size — beyond the
+    # cap a wait degrades to the reference's quick poll instead of queueing
+    # unboundedly in the executor (which would hold connections far past
+    # the advertised wait cap). The push backend holds no threads.
+    long_wait_gate = None if supports_push else asyncio.Semaphore(192)
 
     async def _await_result(request_id: str, timeout: float):
         """Wait for a result: push-notified asyncio future on the in-memory
@@ -109,6 +115,14 @@ def create_api(request_queue, processor=None, engine=None,
                 # notification-only, so the result (if any) is still stored
                 result = request_queue.get_result(request_id, timeout=0)
             return result
+        if timeout > 0.5:
+            if long_wait_gate.locked():  # saturated: degrade to quick poll
+                timeout = 0.1
+            else:
+                async with long_wait_gate:
+                    return await asyncio.get_event_loop().run_in_executor(
+                        poll_pool,
+                        lambda: request_queue.get_result(request_id, timeout))
         return await asyncio.get_event_loop().run_in_executor(
             poll_pool, lambda: request_queue.get_result(request_id, timeout))
 

@@ -263,6 +263,12 @@ class BatchProcessor(threading.Thread):
             for rid in request_ids:
                 self.request_queue.store_result(
                     rid, {"error": str(e), "status": "failed"})
+            if self.finalize_async:
+                # this batch never reaches the finalize worker, but its
+                # (error) results WERE delivered — count it so /stats doesn't
+                # undercount during incidents (the sync path counts in run())
+                self.batches_processed += 1
+                self.requests_processed += len(request_ids)
 
     def _finalize_and_store(self, request_ids: list, handle) -> None:
         try:

@@ -83,7 +83,12 @@ QUERY_PREFIX = "query: "
 # for short-question workloads at the cost of one more compiled program per
 # batch bucket.
 def _parse_len_buckets(spec: str) -> list[int]:
-    out = sorted(int(x) for x in spec.split(",") if x.strip())
+    try:
+        out = sorted(int(x) for x in spec.split(",") if x.strip())
+    except ValueError:
+        logger.warning("unparseable SUFFIX_LEN_BUCKETS=%r; using default", spec)
+        return [32, 64]
+    out = [b for b in out if b > 0]  # 0/negative would compile (B, 0) shapes
     return out or [32, 64]
 
 
@@ -262,9 +267,14 @@ class RagEngine:
         self.prefix_cache = None
         self.prefix_int8 = False
         from collections import OrderedDict
-        self._prefix_tok_cache: OrderedDict = OrderedDict()
-        self._prompt_tok_cache: OrderedDict = OrderedDict()
-        self._prefix_tok_lock = threading.Lock()
+        from rag_serving_system_tpu.utils.lru import LockedLRU
+
+        self._prefix_tok_cache = LockedLRU(4096)
+        # full-prompt token memo: entries hold whole tokenized prompts, so
+        # the capacity is env-tunable (PROMPT_TOKEN_CACHE=0 disables) —
+        # at ~1k-token prompts 4096 entries retain order-100 MB host RAM
+        self._prompt_tok_cache = LockedLRU(
+            int(os.environ.get("PROMPT_TOKEN_CACHE", "4096")))
         # exact query-result cache (see embed_and_retrieve); LRU over exact
         # query text → top-max_k index list
         self._query_cache: OrderedDict | None = (
@@ -499,17 +509,10 @@ class RagEngine:
         """Tokenize a context prefix, memoized by cache key — rows sharing a
         context (and repeat batches on cache hits) were re-tokenizing the
         same ~400-token prefix once per row (advisor finding, round 2)."""
-        with self._prefix_tok_lock:
-            toks = self._prefix_tok_cache.get(key)
-            if toks is not None:
-                self._prefix_tok_cache.move_to_end(key)
-                return toks
-        toks = self.dec_tok.encode(prefix_text)
-        with self._prefix_tok_lock:
-            self._prefix_tok_cache[key] = toks
-            self._prefix_tok_cache.move_to_end(key)
-            while len(self._prefix_tok_cache) > 4096:
-                self._prefix_tok_cache.popitem(last=False)
+        toks = self._prefix_tok_cache.get(key)
+        if toks is None:
+            toks = self.dec_tok.encode(prefix_text)
+            self._prefix_tok_cache.put(key, toks)
         return toks
 
     def _prompt_tokens(self, text: str) -> list:
@@ -523,17 +526,10 @@ class RagEngine:
         # plain-str key: PromptSpec instances drag prefix_text + cache_key
         # along (≈2× the prompt bytes per retained entry)
         key = str(text)
-        with self._prefix_tok_lock:
-            toks = self._prompt_tok_cache.get(key)
-            if toks is not None:
-                self._prompt_tok_cache.move_to_end(key)
-                return toks
-        toks = self.dec_tok.encode(key)
-        with self._prefix_tok_lock:
-            self._prompt_tok_cache[key] = toks
-            self._prompt_tok_cache.move_to_end(key)
-            while len(self._prompt_tok_cache) > 4096:
-                self._prompt_tok_cache.popitem(last=False)
+        toks = self._prompt_tok_cache.get(key)
+        if toks is None:
+            toks = self.dec_tok.encode(key)
+            self._prompt_tok_cache.put(key, toks)
         return toks
 
     def stage_prompts(self, prompts: List[str]):

@@ -5,7 +5,8 @@ host-side pieces the dispatch/prefetch/finalize threads pay per batch —
 prepare (stage 1), stage_prompts (tokenize+pad+puts), generate dispatch,
 finalize (transfer wait + detok) — each as a steady-state mean over N
 batches, so the wall-vs-proxy gap can be attributed to a specific stage
-instead of "the host". Run with the same env as bench.py.
+instead of "the host". Uses scripts/_harness.py (the exact bench.py
+configuration); run with the same env as bench.py.
 """
 
 from __future__ import annotations
@@ -15,49 +16,15 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(
-    os.path.abspath(globals().get("__file__", "scripts/profile_host.py")))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(
+    globals().get("__file__", "scripts/profile_host.py"))))
+
+from _harness import build_bench_engine  # noqa: E402
 
 
 def main() -> None:
-    os.environ.setdefault("QUANT_WEIGHTS", "int8")
-    os.environ.setdefault("QUANT_ACT", "int8")
-    mode = os.environ.get("BENCH_MODE", "full")
-    config = os.environ.get("BENCH_CONFIG", "short_facts")
-    batch = int(os.environ.get("BENCH_BATCH", "32"))
     reps = int(os.environ.get("PROFILE_BATCHES", "16"))
-
-    import jax
-
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from bench import build_corpus
-    from rag_serving_system_tpu.config import Settings
-    from rag_serving_system_tpu.core.engine import RagEngine
-    from rag_serving_system_tpu.models.configs import encoder_config_for
-
-    settings = Settings(
-        model_preset="tiny" if mode == "tiny" else "full",
-        batch_buckets=[batch],
-        encode_len_buckets=[32, 64],
-        prompt_len_buckets=[64, 96, 128] if config == "short_facts"
-        else [192, 256, 384, 448, 512, 640, 1024],
-        max_new_tokens=10, max_k=16, max_batch_size=batch)
-    enc_cfg = encoder_config_for(settings.model_preset)
-    docs, emb = build_corpus(100 if config == "short_facts" else 1000,
-                             enc_cfg.hidden_size, config=config)
-    engine = RagEngine(settings, docs, emb)
-    engine.warmup()
-
-    if config == "squad_real":
-        with open("data/squad_real_queries.json") as f:
-            qpool = json.load(f)
-        queries = [qpool[i % len(qpool)] for i in range(batch)]
-    else:
-        queries = [f"What is the measured property number {i} of the subject?"
-                   for i in range(batch)]
+    engine, queries, batch, _ = build_bench_engine()
     ks = [2] * batch
     engine.process(queries, ks)  # absorb first-touch costs / prime caches
 
