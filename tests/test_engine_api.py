@@ -572,3 +572,41 @@ def test_sync_post_times_out_to_async_protocol():
             proc.stop()
     finally:
         server.stop()
+
+
+def test_locked_lru_semantics():
+    """utils.lru.LockedLRU: recency eviction, capacity<=0 disables, and
+    concurrent put/get never corrupts the map."""
+    import threading
+
+    from rag_serving_system_tpu.utils.lru import LockedLRU
+
+    lru = LockedLRU(2)
+    lru.put("a", 1)
+    lru.put("b", 2)
+    assert lru.get("a") == 1        # refresh a → b is now LRU
+    lru.put("c", 3)                 # evicts b
+    assert lru.get("b") is None and lru.get("a") == 1 and lru.get("c") == 3
+    assert len(lru) == 2
+
+    off = LockedLRU(0)
+    off.put("x", 1)
+    assert off.get("x") is None and len(off) == 0
+
+    big = LockedLRU(64)
+    errs = []
+
+    def worker(t):
+        try:
+            for i in range(500):
+                big.put((t, i % 80), i)
+                big.get((t, (i * 7) % 80))
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(t,)) for t in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs and len(big) <= 64
