@@ -257,7 +257,12 @@ def main() -> None:
                   + ("_tinysmoke" if mode == "tiny" else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
                   + ("_pxint8" if engine.prefix_int8 else "")
-                  + ("_noqcache" if engine.query_cache_stats() is None else ""),
+                  + ("_noqcache" if engine.query_cache_stats() is None else "")
+                  # non-default suffix buckets are an experiment, not the
+                  # protocol config — don't overwrite the canonical entry
+                  + (("_sfx" + os.environ["SUFFIX_LEN_BUCKETS"].replace(",", "_"))
+                     if os.environ.get("SUFFIX_LEN_BUCKETS", "32,64") != "32,64"
+                     else ""),
         "value": round(rps, 2),
         "unit": "req/s",
         # tiny mode is a CI smoke run of toy models — not baseline-comparable

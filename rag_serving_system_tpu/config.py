@@ -98,11 +98,11 @@ class Settings:
         default_factory=lambda: _env("PREFIX_CACHE", "1").lower() not in ("0", "false"))
     # fixed token length of each cached prefix entry (static XLA shape);
     # longer contexts cache their first PREFIX_POOL_LEN tokens. Unset =
-    # AUTO: the engine sizes the pool from corpus statistics (p75 of
-    # sampled 2-doc context prefixes, rounded up to 128) so typical
-    # suffixes collapse to the question-only bucket — measured 2.3x
-    # end-to-end on real-SQuAD prompts vs a pool that covers only part
-    # of the context (PERFORMANCE.md)
+    # AUTO: the engine sizes the pool from corpus statistics (max of
+    # sampled 2-doc context prefixes, rounded up to 128, clamped to 768)
+    # so typical suffixes collapse to the question-only bucket — measured
+    # 2.3x end-to-end on real-SQuAD prompts vs a pool that covers only
+    # part of the context (PERFORMANCE.md)
     prefix_pool_len: Optional[int] = field(
         default_factory=lambda: (int(os.environ["PREFIX_POOL_LEN"])
                                  if os.environ.get("PREFIX_POOL_LEN")

@@ -485,25 +485,29 @@ class RagEngine:
 
     def _auto_pool_len(self, documents: List[str]) -> int:
         """Size the prefix pool from corpus statistics: tokenize sampled
-        2-doc context prefixes (k=2 is the API default) and take p75,
-        rounded up to a 128 multiple. A pool that covers the TYPICAL whole
-        context collapses steady-state suffixes to the question-only bucket
-        — on real-SQuAD prompts that is the difference between prefilling
-        ~128 overflow tokens per request and ~32 (measured 2.3× end-to-end,
-        PERFORMANCE.md). Clamped to [128, 768]; long-tail contexts beyond
-        the pool still split (their overflow rides the suffix buckets)."""
+        2-doc context prefixes (k=2 is the API default) and cover the MAX
+        sampled length, rounded up to a 128 multiple. A pool that covers the
+        whole context collapses steady-state suffixes to the question-only
+        bucket — on real-SQuAD prompts that is the difference between
+        prefilling ~128 overflow tokens per request and ~32 (measured 2.3×
+        end-to-end, PERFORMANCE.md). Max, not a percentile: retrieval
+        concentrates on a few hot contexts (with random-init or real
+        encoders alike), so a percentile of a UNIFORM doc sample says
+        nothing about the hot set — a p75-sized pool measured 135.9 ms/batch
+        device-side on squad_real vs 57.5 for a covering pool, while
+        oversizing only costs lazily-grown HBM proportional to live entries.
+        Clamped to [128, 768]; contexts beyond the clamp still split (their
+        overflow rides the suffix buckets)."""
         if not documents:
             return 384
         n = len(documents)
-        step = max(1, n // 32)
-        sample = [documents[i] for i in range(0, n, step)][:32]
-        lens = []
-        for i, doc in enumerate(sample):
-            pair = f"{doc}\n---\n{sample[(i + 1) % len(sample)]}"
-            lens.append(len(self.dec_tok.encode(
-                PREFIX_TEMPLATE.format(context=pair))))
-        p75 = sorted(lens)[int(0.75 * (len(lens) - 1))]
-        return min(768, max(128, -(-p75 // 128) * 128))
+        step = max(1, n // 64)
+        sample = [documents[i] for i in range(0, n, step)][:64]
+        longest = max(
+            len(self.dec_tok.encode(PREFIX_TEMPLATE.format(
+                context=f"{doc}\n---\n{sample[(i + 1) % len(sample)]}")))
+            for i, doc in enumerate(sample))
+        return min(768, max(128, -(-longest // 128) * 128))
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
         """Tokenize a context prefix, memoized by cache key — rows sharing a
@@ -871,7 +875,7 @@ class RagEngine:
                     if s > overflow_cap]
         if unwarmed:
             # contexts that overflow the pool by a lot ride these buckets —
-            # rare (the pool is auto-sized to cover p75 of whole contexts)
+            # rare (the pool is auto-sized to cover sampled-max contexts)
             # but the first such batch compiles mid-serving
             logger.info("prefix-generate overflow-suffix buckets %s not "
                         "pre-compiled (long-tail contexts only; raise "

@@ -466,7 +466,7 @@ def test_adaptive_bypass_never_fires_during_warmup_misses():
 
 def test_auto_pool_len_sizes_from_corpus():
     """PREFIX_POOL_LEN unset → the engine sizes the pool from sampled 2-doc
-    context prefixes (p75, rounded to 128): long-doc corpora get a bigger
+    context prefixes (max, rounded to 128): long-doc corpora get a bigger
     pool than short-doc corpora, and an explicit setting wins."""
     from rag_serving_system_tpu.config import Settings
     from rag_serving_system_tpu.core.engine import RagEngine
