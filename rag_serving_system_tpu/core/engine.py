@@ -842,13 +842,24 @@ class RagEngine:
         self.prefix_cache.put_batch([("_warmup_", mb)], [(0,)], kv)
 
     def _run_warmup_jobs(self, jobs) -> None:
-        """Execute independent warmup programs, concurrently when allowed."""
+        """Execute independent warmup programs, concurrently when allowed.
+
+        Each job compiles AND runs its program, so N workers can have N
+        programs' live temp buffers on the device at once — at the big end
+        of the matrix that transient sum can exhaust HBM even though every
+        program fits comfortably alone (observed: a squad_synthetic warmup
+        that passed one session OOMed the next). Jobs that fail with
+        RESOURCE_EXHAUSTED are therefore retried serially after the pool
+        drains — one program's working set at a time is the same memory
+        profile serving has, so a serial failure is a real capacity error
+        and propagates."""
         import os
 
         if not jobs:
             return
         workers = int(os.environ.get("WARMUP_COMPILE_WORKERS", "8"))
         t0 = time.time()
+        retry = []
         if workers <= 1 or len(jobs) == 1:
             for _, fn in jobs:
                 fn()
@@ -856,9 +867,22 @@ class RagEngine:
             from concurrent.futures import ThreadPoolExecutor
 
             with ThreadPoolExecutor(max_workers=workers) as ex:
-                futures = [(label, ex.submit(fn)) for label, fn in jobs]
-                for label, fut in futures:
-                    fut.result()  # surface the first failure with its label
+                futures = [(label, fn, ex.submit(fn)) for label, fn in jobs]
+                for label, fn, fut in futures:
+                    try:
+                        fut.result()  # surface failures with their label
+                    except Exception as e:
+                        if "RESOURCE_EXHAUSTED" in str(e):
+                            retry.append((label, fn))
+                        else:
+                            raise
+        if retry:
+            logger.warning(
+                "warmup: %d program(s) hit RESOURCE_EXHAUSTED under %d-way "
+                "concurrency (transient temp-buffer sum); retrying serially: "
+                "%s", len(retry), workers, [label for label, _ in retry])
+            for _, fn in retry:
+                fn()  # serial OOM = real capacity error -> propagate
         logger.info("warmup matrix: %d programs in %.1fs (%d workers)",
                     len(jobs), time.time() - t0, workers)
 

@@ -610,3 +610,37 @@ def test_locked_lru_semantics():
     for th in threads:
         th.join()
     assert not errs and len(big) <= 64
+
+
+def test_warmup_jobs_retry_resource_exhausted_serially():
+    """Parallel warmup executes N programs' temp buffers at once; a job that
+    OOMs under that transient pressure must be retried SERIALLY (one
+    program's working set = serving's memory profile), not crash the
+    startup. Other exceptions still propagate."""
+    calls = []
+
+    def ok():
+        calls.append("ok")
+
+    class _Exhausted(RuntimeError):
+        pass
+
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] == 1:
+            raise _Exhausted("TPU backend error (ResourceExhausted): "
+                             "RESOURCE_EXHAUSTED while allocating")
+        calls.append("flaky-retry")
+
+    eng = RagEngine.__new__(RagEngine)  # method touches no engine state
+    eng._run_warmup_jobs([("a", ok), ("b", flaky), ("c", ok)])
+    assert calls.count("ok") == 2 and calls.count("flaky-retry") == 1
+    assert state["n"] == 2  # exactly one serial retry
+
+    def boom():
+        raise ValueError("not a capacity error")
+
+    with pytest.raises(ValueError):
+        eng._run_warmup_jobs([("x", boom)] * 2)  # >1 job → pool path
