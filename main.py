@@ -97,6 +97,19 @@ def build_app(settings=None, warmup: bool = True, role: str = "all"):
     request_queue = make_queue(settings)
     logger.info("queue backend: %s", type(request_queue).__name__)
 
+    # NATIVE_FRONT_PORT=N adds the C++ epoll listener (native/httpfront.cc):
+    # the hot POST/poll path bypasses aiohttp + the GIL entirely. The queue
+    # the processor sees is wrapped so front-owned results route back through
+    # the native layer.
+    front_port = int(os.environ.get("NATIVE_FRONT_PORT", "0"))
+    if front_port:
+        from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
+
+        front = NativeFront(request_queue, port=front_port,
+                            max_inflight=int(os.environ.get(
+                                "NATIVE_FRONT_MAX_INFLIGHT", "0"))).start()
+        request_queue = FrontQueue(request_queue, front)
+
     processor = BatchProcessor(request_queue, engine,
                                polling_interval=min(settings.polling_interval, 0.05))
     processor.start()

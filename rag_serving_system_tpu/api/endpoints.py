@@ -175,6 +175,9 @@ def create_api(request_queue, processor=None, engine=None,
             qstats = getattr(engine, "query_cache_stats", lambda: None)()
             if qstats is not None:
                 body["query_cache"] = qstats
+        front = getattr(request_queue, "_front", None)  # FrontQueue proxy
+        if front is not None:
+            body["native_front"] = front.stats()
         return web.json_response(body)
 
     app.router.add_post("/rag", rag_endpoint)

@@ -58,7 +58,11 @@ class RequestQueue:
         self._stores_since_sweep = 0
 
     def add_request(self, query: str, k: int = 2) -> str:
-        request_id = str(uuid.uuid4())
+        return self.add_request_with_id(str(uuid.uuid4()), query, k)
+
+    def add_request_with_id(self, request_id: str, query: str, k: int = 2) -> str:
+        """Enqueue with a caller-assigned id (the native HTTP front mints its
+        own ids on the epoll thread so submission needs no Python round trip)."""
         ts = time.time()
         # side deque of enqueue timestamps so oldest_wait_time() can peek
         # (queue.Queue has no peek); appended BEFORE put so a racing consumer
@@ -207,7 +211,9 @@ class RedisRequestQueue:
         self.results_key_prefix = self.RESULT_PREFIX
 
     def add_request(self, query: str, k: int = 2) -> str:
-        request_id = str(uuid.uuid4())
+        return self.add_request_with_id(str(uuid.uuid4()), query, k)
+
+    def add_request_with_id(self, request_id: str, query: str, k: int = 2) -> str:
         self.redis.rpush(self.queue_key, json.dumps({
             "id": request_id, "query": query, "k": k, "timestamp": time.time(),
         }))

@@ -34,6 +34,46 @@ def get_miniredis_path():
     return path if os.path.exists(path) else None
 
 
+_front_lib = None
+
+
+def get_httpfront_lib():
+    """Load (building if needed) the native HTTP front library; None if the
+    toolchain is unavailable — callers fall back to the aiohttp-only surface."""
+    global _front_lib, _build_attempted
+    if _front_lib is not None:
+        return _front_lib
+    path = os.path.join(_DIR, "libhttpfront.so")
+    if not os.path.exists(path) and not _build_attempted:
+        _build_attempted = True
+        try:
+            subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
+                           capture_output=True, check=True, timeout=120)
+        except Exception as e:
+            logger.debug("native build unavailable: %s", e)
+    if not os.path.exists(path):
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.httpfront_start.restype = ctypes.c_int
+        lib.httpfront_start.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.httpfront_stop.restype = None
+        lib.httpfront_stop.argtypes = []
+        lib.httpfront_drain.restype = ctypes.c_int
+        lib.httpfront_drain.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_int]
+        lib.httpfront_complete.restype = None
+        lib.httpfront_complete.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                           ctypes.c_char_p, ctypes.c_int]
+        lib.httpfront_stats.restype = None
+        lib.httpfront_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong)]
+        _front_lib = lib
+        return _front_lib
+    except OSError as e:
+        logger.debug("native front lib load failed: %s", e)
+        return None
+
+
 def get_hashtok_lib():
     """Load (building if needed) the native tokenizer library; None if
     unavailable — callers fall back to pure Python."""

@@ -8,6 +8,8 @@ CC="${CC:-cc}"
 CXX="${CXX:-c++}"
 $CC -O2 -shared -fPIC -o libhashtok.so hashtok.c
 echo "built $(pwd)/libhashtok.so"
+$CXX -O2 -std=c++17 -shared -fPIC -pthread -o libhttpfront.so httpfront.cc
+echo "built $(pwd)/libhttpfront.so"
 $CXX -O2 -std=c++17 -o miniredis miniredis.cc
 echo "built $(pwd)/miniredis"
 if [ -f ../../benchmarks/loadgen_native.cc ]; then
