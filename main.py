@@ -103,11 +103,14 @@ def build_app(settings=None, warmup: bool = True, role: str = "all"):
     # the native layer.
     front_port = int(os.environ.get("NATIVE_FRONT_PORT", "0"))
     if front_port:
+        import atexit
+
         from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
 
         front = NativeFront(request_queue, port=front_port,
                             max_inflight=int(os.environ.get(
                                 "NATIVE_FRONT_MAX_INFLIGHT", "0"))).start()
+        atexit.register(front.stop)  # join the epoll thread on shutdown
         request_queue = FrontQueue(request_queue, front)
 
     processor = BatchProcessor(request_queue, engine,

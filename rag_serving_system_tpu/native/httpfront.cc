@@ -276,7 +276,10 @@ struct StoredResult {
 };
 
 namespace {
-std::thread g_thread;
+// heap-allocated so the global destructor can never hit std::terminate on a
+// still-joinable thread at process exit (the interpreter may exit without
+// calling httpfront_stop; leaking one thread object there is harmless)
+std::thread *g_thread = nullptr;
 std::atomic<bool> g_running{false};
 int g_epfd = -1, g_lfd = -1, g_evfd = -1;
 int g_port = 0;
@@ -710,7 +713,7 @@ int httpfront_start(int port, int max_inflight) {
   g_id_counter = 0;
   g_inflight.store(0);
   g_running.store(true);
-  g_thread = std::thread(event_loop);
+  g_thread = new std::thread(event_loop);
   return g_port;
 }
 
@@ -719,7 +722,11 @@ void httpfront_stop() {
   uint64_t one = 1;
   (void)!write(g_evfd, &one, sizeof one);
   g_pending_cv.notify_all();
-  if (g_thread.joinable()) g_thread.join();
+  if (g_thread != nullptr) {
+    if (g_thread->joinable()) g_thread->join();
+    delete g_thread;
+    g_thread = nullptr;
+  }
   std::lock_guard<std::mutex> lk(g_pending_mu);
   g_pending.clear();
 }
