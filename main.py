@@ -102,16 +102,30 @@ def build_app(settings=None, warmup: bool = True, role: str = "all"):
     # the processor sees is wrapped so front-owned results route back through
     # the native layer.
     front_port = int(os.environ.get("NATIVE_FRONT_PORT", "0"))
+    if front_port and settings.redis_url:
+        # a shared queue means ANOTHER replica may process a front-submitted
+        # request; its result would land in that replica's Redis store while
+        # this front's parked waiter never learns of it. Refuse loudly
+        # instead of silently dropping results.
+        raise SystemExit(
+            "NATIVE_FRONT_PORT requires the in-memory queue (single-replica "
+            "role=all); unset REDIS_URL or the front")
     if front_port:
         import atexit
 
         from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
 
-        front = NativeFront(request_queue, port=front_port,
-                            max_inflight=int(os.environ.get(
-                                "NATIVE_FRONT_MAX_INFLIGHT", "0"))).start()
-        atexit.register(front.stop)  # join the epoll thread on shutdown
-        request_queue = FrontQueue(request_queue, front)
+        try:
+            front = NativeFront(request_queue, port=front_port,
+                                max_inflight=int(os.environ.get(
+                                    "NATIVE_FRONT_MAX_INFLIGHT", "0"))).start()
+        except RuntimeError as e:
+            # no C++ toolchain / prebuilt .so: serve aiohttp-only rather
+            # than crashloop a pod that could still do useful work
+            logger.warning("native front disabled: %s", e)
+        else:
+            atexit.register(front.stop)  # join the epoll thread on shutdown
+            request_queue = FrontQueue(request_queue, front)
 
     processor = BatchProcessor(request_queue, engine,
                                polling_interval=min(settings.polling_interval, 0.05))

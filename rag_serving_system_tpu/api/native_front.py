@@ -59,6 +59,13 @@ class NativeFront:
             raise RuntimeError(
                 f"native front failed to bind port {self._want_port}")
         self.port = port
+        buf = ctypes.create_string_buffer(32)
+        n = self._lib.httpfront_id_prefix(buf, 32)
+        # ids minted by THIS front ("nf-<tag>-…"): only these may be routed
+        # back through httpfront_complete — an nf- id with a foreign tag
+        # (another replica via a shared Redis queue, or a restarted front)
+        # has no waiter here and belongs in the wrapped queue's result store
+        self.id_prefix = buf.raw[:n].decode("ascii")
         self._running = True
         self._thread = threading.Thread(target=self._drain_loop,
                                         name="front-drain", daemon=True)
@@ -94,7 +101,14 @@ class NativeFront:
                 off += id_len
                 query = raw[off:off + q_len].decode("utf-8", errors="replace")
                 off += q_len
-                put(rid, query, k)
+                # a transient enqueue failure (e.g. a dropped Redis
+                # connection) must not kill the drain thread — the client
+                # whose request was dropped times out; everyone after it
+                # keeps being served
+                try:
+                    put(rid, query, k)
+                except Exception:  # noqa: BLE001
+                    logger.exception("native front enqueue failed for %s", rid)
 
     def complete(self, request_id: str, result) -> None:
         payload = json.dumps(result).encode("utf-8")
@@ -118,7 +132,7 @@ class FrontQueue:
         self._front = front
 
     def store_result(self, request_id: str, result) -> None:
-        if request_id.startswith("nf-"):
+        if request_id.startswith(self._front.id_prefix):
             self._front.complete(request_id, result)
         else:
             self._inner.store_result(request_id, result)

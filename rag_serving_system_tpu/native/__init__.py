@@ -67,6 +67,8 @@ def get_httpfront_lib():
                                            ctypes.c_char_p, ctypes.c_int]
         lib.httpfront_stats.restype = None
         lib.httpfront_stats.argtypes = [ctypes.POINTER(ctypes.c_longlong)]
+        lib.httpfront_id_prefix.restype = ctypes.c_int
+        lib.httpfront_id_prefix.argtypes = [ctypes.c_char_p, ctypes.c_int]
         _front_lib = lib
         return _front_lib
     except OSError as e:

@@ -456,6 +456,18 @@ static void handle_request(Conn &c) {
   respond(c, 404, "Not Found", "{\"detail\": \"not found\"}");
 }
 
+static bool parse_and_dispatch(Conn &c);
+
+// a released waiter may have pipelined bytes buffered behind the parked
+// request — re-run the parser or they stall until the next EPOLLIN (which a
+// client waiting on its pipelined response never sends)
+static void redispatch(int fd) {
+  auto cit = g_conns.find(fd);
+  if (cit == g_conns.end() || cit->second.waiting) return;
+  if (!parse_and_dispatch(cit->second)) { close_conn(fd); return; }
+  want_write(cit->second);
+}
+
 // deliver completions queued by httpfront_complete (epoll thread)
 static void drain_completions() {
   std::deque<Completion> done;
@@ -469,6 +481,7 @@ static void drain_completions() {
     // first live waiter gets the result (consume-once)
     auto wit = g_waiters.find(comp.id);
     bool delivered = false;
+    std::vector<int> released;
     if (wit != g_waiters.end()) {
       for (auto &w : wit->second) {
         auto cit = g_conns.find(w.fd);
@@ -485,10 +498,11 @@ static void drain_completions() {
           reply_processing(c, w.request_id, w.is_post);
         }
         c.waiting = false;
-        want_write(c);
+        released.push_back(w.fd);
       }
-      g_waiters.erase(wit);
+      g_waiters.erase(wit);  // before redispatch: it may insert new waiters
     }
+    for (int fd : released) redispatch(fd);
     if (!delivered) g_results[comp.id] = {std::move(comp.json), now};
     if (++g_completes_since_sweep >= 4096) {
       g_completes_since_sweep = 0;
@@ -501,6 +515,7 @@ static void drain_completions() {
 
 // answer waiters whose deadline passed ("processing"); prune stale entries
 static void expire_waiters(double now) {
+  std::vector<int> released;
   for (auto wit = g_waiters.begin(); wit != g_waiters.end();) {
     auto &vec = wit->second;
     for (auto it = vec.begin(); it != vec.end();) {
@@ -513,7 +528,7 @@ static void expire_waiters(double now) {
         Conn &c = cit->second;
         reply_processing(c, it->request_id, it->is_post);
         c.waiting = false;
-        want_write(c);
+        released.push_back(it->fd);
         it = vec.erase(it);
         continue;
       }
@@ -521,6 +536,8 @@ static void expire_waiters(double now) {
     }
     wit = vec.empty() ? g_waiters.erase(wit) : std::next(wit);
   }
+  // outside the map iteration: redispatch may register NEW waiters
+  for (int fd : released) redispatch(fd);
 }
 
 // parse as many complete HTTP requests as the buffer holds
@@ -589,15 +606,15 @@ static void event_loop() {
   while (g_running.load(std::memory_order_relaxed)) {
     int timeout_ms = 1000;
     double now = now_s();
+    // O(waiters) minimum scan per wakeup — measured fine at the 1600-rps
+    // scale this host reaches; a deadline heap is the upgrade path if
+    // parked-waiter counts ever dominate a profile
     for (auto &kv : g_waiters)
       for (auto &w : kv.second) {
         int ms = (int)((w.deadline - now) * 1000) + 1;
         if (ms < timeout_ms) timeout_ms = ms < 0 ? 0 : ms;
       }
     int nev = epoll_wait(g_epfd, events.data(), (int)events.size(), timeout_ms);
-    now = now_s();
-    drain_completions();
-    expire_waiters(now);
     for (int i = 0; i < nev; i++) {
       int fd = events[i].data.fd;
       if (fd == g_evfd) {
@@ -653,8 +670,15 @@ static void event_loop() {
         }
       }
     }
+    // AFTER the event sweep (which clears the eventfd): a completion pushed
+    // between an earlier drain and the eventfd read would otherwise have its
+    // wakeup consumed and sit undelivered for up to the idle timeout
+    drain_completions();
+    expire_waiters(now_s());
   }
-  // shutdown: close everything
+  // shutdown: close client connections; the listener/eventfd/epoll fds are
+  // closed by httpfront_stop AFTER joining this thread (closing them here
+  // races the stop/complete threads' eventfd writes against fd reuse)
   for (auto &kv : g_conns) close(kv.first);
   g_conns.clear();
   g_conn_gen.clear();
@@ -664,10 +688,6 @@ static void event_loop() {
     std::lock_guard<std::mutex> lk(g_done_mu);
     g_done.clear();
   }
-  close(g_lfd);
-  close(g_evfd);
-  close(g_epfd);
-  g_lfd = g_evfd = g_epfd = -1;
 }
 
 // ---------------------------------------------------------------------------
@@ -727,6 +747,15 @@ void httpfront_stop() {
     delete g_thread;
     g_thread = nullptr;
   }
+  {
+    // g_done_mu also guards httpfront_complete's eventfd write, so no
+    // completer can race the close with a write into a reused fd number
+    std::lock_guard<std::mutex> lk(g_done_mu);
+    close(g_lfd);
+    close(g_evfd);
+    close(g_epfd);
+    g_lfd = g_evfd = g_epfd = -1;
+  }
   std::lock_guard<std::mutex> lk(g_pending_mu);
   g_pending.clear();
 }
@@ -764,14 +793,20 @@ int httpfront_drain(char *buf, int cap, int timeout_ms) {
 // Deliver a completed result (thread-safe; called from Python finalize).
 void httpfront_complete(const char *id, int id_len, const char *json,
                         int json_len) {
-  if (!g_running.load()) return;
-  {
-    std::lock_guard<std::mutex> lk(g_done_mu);
-    g_done.push_back({std::string(id, (size_t)id_len),
-                      std::string(json, (size_t)json_len)});
-  }
+  std::lock_guard<std::mutex> lk(g_done_mu);
+  if (!g_running.load() || g_evfd < 0) return;
+  g_done.push_back({std::string(id, (size_t)id_len),
+                    std::string(json, (size_t)json_len)});
   uint64_t one = 1;
   (void)!write(g_evfd, &one, sizeof one);
+}
+
+// Write this front's id prefix ("nf-<tag>-") into buf; returns its length.
+// Ids minted by OTHER processes/restarts carry a different tag — results for
+// those must not be parked in this front's local store.
+int httpfront_id_prefix(char *buf, int cap) {
+  int n = snprintf(buf, (size_t)cap, "nf-%s-", g_id_tag);
+  return n < cap ? n : -1;
 }
 
 // out[0..4] = accepted, completed, rejected, bad_requests, inflight

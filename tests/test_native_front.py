@@ -271,6 +271,46 @@ def test_stats_counters(front):
     assert s["port"] == port
 
 
+def test_pipelined_request_behind_waiter(front):
+    """HTTP/1.1 pipelining: a request buffered behind a parked sync-POST must
+    be answered as soon as the waiter is released (regression: it used to
+    stall until the next EPOLLIN, which a pipelining client never sends)."""
+    import socket
+
+    port = front[0]
+    body = json.dumps({"query": "pipelined"})
+    req1 = (f"POST /rag?wait=10 HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n{body}")
+    req2 = "GET /health HTTP/1.1\r\nHost: x\r\n\r\n"
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    s.sendall((req1 + req2).encode())
+    buf = b""
+    deadline = time.time() + 10
+    while buf.count(b"HTTP/1.1 200") < 2 and time.time() < deadline:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    s.close()
+    assert buf.count(b"HTTP/1.1 200") == 2, buf[:400]
+    assert b'"status": "complete"' in buf
+    assert b'"healthy"' in buf
+
+
+def test_foreign_nf_id_routes_to_python_store(front):
+    """An nf- id with a DIFFERENT front tag (another replica / a restarted
+    front) must go to the wrapped queue's result store, not be parked in
+    this front's local map (regression: any nf- prefix was routed
+    natively)."""
+    port, q, nf, _ = front
+    assert nf.id_prefix.startswith("nf-") and nf.id_prefix.endswith("-")
+    foreign = "nf-deadbeef-000000000001"
+    assert not foreign.startswith(nf.id_prefix)
+    q.store_result(foreign, {"result": "foreign"})
+    assert q.get_result(foreign, timeout=0)["result"] == "foreign"
+
+
 def test_non_front_ids_still_use_python_store(front):
     """Results for uuid ids (aiohttp-submitted) keep flowing through the
     wrapped queue's result store."""
