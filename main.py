@@ -2,7 +2,7 @@
 
 Wires: Settings → data → engine (models + device corpus) → queue backend
 (Redis iff REDIS_URL, reference main.py:35-49) → BatchProcessor thread →
-FastAPI app → uvicorn.
+aiohttp app (api/endpoints.py run_app; optional C++ epoll native front).
 """
 
 from __future__ import annotations
@@ -115,10 +115,16 @@ def build_app(settings=None, warmup: bool = True, role: str = "all"):
 
         from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
 
+        # overload protection must carry over to the hot path: an operator
+        # who configured MAX_QUEUE_SIZE expects backpressure on BOTH
+        # surfaces, so the native inflight cap defaults to it when unset
+        # (0 = unbounded, only if neither knob is set)
+        max_inflight = int(os.environ.get(
+            "NATIVE_FRONT_MAX_INFLIGHT",
+            os.environ.get("MAX_QUEUE_SIZE", "0")))
         try:
             front = NativeFront(request_queue, port=front_port,
-                                max_inflight=int(os.environ.get(
-                                    "NATIVE_FRONT_MAX_INFLIGHT", "0"))).start()
+                                max_inflight=max_inflight).start()
         except RuntimeError as e:
             # no C++ toolchain / prebuilt .so: serve aiohttp-only rather
             # than crashloop a pod that could still do useful work

@@ -46,6 +46,11 @@ def create_api(request_queue, processor=None, engine=None,
                                registry=registry)
     stage_g = Gauge("rag_stage_seconds", "Mean seconds per pipeline stage",
                     ["stage"], registry=registry)
+    # the native front counts its own accepts/rejects in C (the hot path
+    # never touches the Python counters above) — export them at scrape time
+    # so an operator's requests_total/rejected view covers BOTH surfaces
+    front_g = Gauge("rag_native_front", "Native front counters",
+                    ["counter"], registry=registry)
 
     async def rag_endpoint(request: web.Request) -> web.Response:
         try:
@@ -151,6 +156,11 @@ def create_api(request_queue, processor=None, engine=None,
         if engine is not None:
             for stage, s in engine.timer.summary().items():
                 stage_g.labels(stage=stage).set(s["mean_s"])
+        front = getattr(request_queue, "_front", None)  # FrontQueue proxy
+        if front is not None:
+            for name, v in front.stats().items():
+                if name != "port":
+                    front_g.labels(counter=name).set(v)
         return web.Response(body=generate_latest(registry),
                             content_type="text/plain")
 

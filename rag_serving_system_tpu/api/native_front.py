@@ -102,13 +102,22 @@ class NativeFront:
                 query = raw[off:off + q_len].decode("utf-8", errors="replace")
                 off += q_len
                 # a transient enqueue failure (e.g. a dropped Redis
-                # connection) must not kill the drain thread — the client
-                # whose request was dropped times out; everyone after it
-                # keeps being served
+                # connection) must not kill the drain thread — and the front
+                # has already accepted this request (client told "processing"
+                # or parked on ?wait), so deliver a synthetic error completion:
+                # the waiter is released immediately instead of timing out and
+                # the C-side inflight counter is decremented (otherwise, with
+                # NATIVE_FRONT_MAX_INFLIGHT set, repeated enqueue failures
+                # would leak capacity toward permanent 503s)
                 try:
                     put(rid, query, k)
                 except Exception:  # noqa: BLE001
                     logger.exception("native front enqueue failed for %s", rid)
+                    try:
+                        self.complete(rid, {"error": "enqueue failed",
+                                            "status": "failed"})
+                    except Exception:  # noqa: BLE001
+                        logger.exception("error completion failed for %s", rid)
 
     def complete(self, request_id: str, result) -> None:
         payload = json.dumps(result).encode("utf-8")

@@ -246,10 +246,19 @@ struct Conn {
   std::string out;
   bool waiting = false;       // parked on a result (no pipelining meanwhile)
   bool close_after = false;   // Connection: close
+  bool expect_continue = false;  // Expect: 100-continue pending interim reply
+  double last_active = 0;     // keepalive bookkeeping (idle sweep)
   // parsed-request scratch
   size_t need_body = 0;       // body bytes still missing (0 = parsing headers)
   std::string method, path, query_string, body;
 };
+
+// aiohttp gets keepalive timeouts and flow control for free; the native front
+// enforces its own: idle connections are reaped, and per-connection buffers
+// are bounded so a client that pipelines without reading responses (c.out) or
+// streams bytes at a parked waiter (c.in) cannot grow memory without limit.
+static constexpr double kIdleTimeout = 120.0;   // s without socket activity
+static constexpr size_t kMaxConnBuf = 8 * 1024 * 1024;  // per direction
 
 struct Waiter {
   int fd;
@@ -580,6 +589,11 @@ static bool parse_and_dispatch(Conn &c) {  // false = fatal, close conn
           if (val.find("close") != std::string::npos) c.close_after = true;
         } else if (name == "transfer-encoding") {
           return false;  // chunked unsupported
+        } else if (name == "expect") {
+          std::string val = h.substr(v);
+          for (auto &ch : val) ch = (char)tolower((unsigned char)ch);
+          if (val.find("100-continue") != std::string::npos)
+            c.expect_continue = true;
         }
       }
       if (content_length > 1024 * 1024) return false;  // body cap
@@ -587,7 +601,16 @@ static bool parse_and_dispatch(Conn &c) {  // false = fatal, close conn
       c.need_body = content_length + 1;  // +1 sentinel: "headers parsed"
     }
     size_t body_len = c.need_body - 1;
-    if (c.in.size() < body_len) return true;  // wait for more bytes
+    if (c.in.size() < body_len) {
+      // client is holding the body for our interim reply (curl does this for
+      // bodies >1KB and stalls ~1s without it) — send 100 Continue once
+      if (c.expect_continue) {
+        c.out += "HTTP/1.1 100 Continue\r\n\r\n";
+        c.expect_continue = false;
+      }
+      return true;  // wait for more bytes
+    }
+    c.expect_continue = false;  // body already (fully) here — no interim reply
     c.body.assign(c.in, 0, body_len);
     c.in.erase(0, body_len);
     c.need_body = 0;
@@ -634,6 +657,7 @@ static void event_loop() {
           epoll_ctl(g_epfd, EPOLL_CTL_ADD, cfd, &cev);
           g_conns[cfd] = Conn{};
           g_conns[cfd].fd = cfd;
+          g_conns[cfd].last_active = now_s();
           g_conn_gen[cfd] = ++g_gen_counter;
         }
         continue;
@@ -647,20 +671,25 @@ static void event_loop() {
         bool dead = false;
         for (;;) {
           ssize_t r = read(fd, buf, sizeof buf);
-          if (r > 0) { c.in.append(buf, (size_t)r); continue; }
+          if (r > 0) { c.in.append(buf, (size_t)r); c.last_active = now_s(); continue; }
           if (r == 0) dead = true;
           else if (errno != EAGAIN && errno != EWOULDBLOCK) dead = true;
           break;
         }
+        // bound c.in: a parked ?wait connection can keep streaming pipelined
+        // bytes the parser won't consume until release — cut it off instead
+        // of buffering without limit
+        if (c.in.size() > kMaxConnBuf) dead = true;
         // a parked waiter with a dead socket must be closed even though we
         // can't write to it; its waiter entry is pruned by generation check
         if (dead || !parse_and_dispatch(c)) { close_conn(fd); continue; }
+        if (c.out.size() > kMaxConnBuf) { close_conn(fd); continue; }
         want_write(c);
       }
       if (events[i].events & EPOLLOUT) {
         while (!c.out.empty()) {
           ssize_t w = write(fd, c.out.data(), c.out.size());
-          if (w > 0) { c.out.erase(0, (size_t)w); continue; }
+          if (w > 0) { c.out.erase(0, (size_t)w); c.last_active = now_s(); continue; }
           if (errno != EAGAIN && errno != EWOULDBLOCK) { close_conn(fd); fd = -1; }
           break;
         }
@@ -674,7 +703,23 @@ static void event_loop() {
     // between an earlier drain and the eventfd read would otherwise have its
     // wakeup consumed and sit undelivered for up to the idle timeout
     drain_completions();
-    expire_waiters(now_s());
+    double after = now_s();
+    expire_waiters(after);
+    // idle/keepalive sweep (alongside expire_waiters, as a low-rate scan):
+    // reap half-open dead connections and clients that went silent. Parked
+    // waiters are exempt — their own ≤30 s deadline releases them first,
+    // which refreshes last_active via the response write.
+    static double last_idle_sweep = 0;
+    if (after - last_idle_sweep >= 5.0) {
+      last_idle_sweep = after;
+      std::vector<int> stale;
+      for (auto &kv : g_conns) {
+        const Conn &c = kv.second;
+        if (!c.waiting && after - c.last_active > kIdleTimeout)
+          stale.push_back(kv.first);
+      }
+      for (int fd : stale) close_conn(fd);
+    }
   }
   // shutdown: close client connections; the listener/eventfd/epoll fds are
   // closed by httpfront_stop AFTER joining this thread (closing them here
@@ -732,6 +777,13 @@ int httpfront_start(int port, int max_inflight) {
   snprintf(g_id_tag, sizeof g_id_tag, "%08x", seed);
   g_id_counter = 0;
   g_inflight.store(0);
+  // a restarted front must not report the previous instance's cumulative
+  // counters next to a zeroed inflight — /stats would be internally
+  // inconsistent across restarts
+  g_stat_accepted.store(0);
+  g_stat_completed.store(0);
+  g_stat_rejected.store(0);
+  g_stat_bad.store(0);
   g_running.store(true);
   g_thread = new std::thread(event_loop);
   return g_port;

@@ -319,3 +319,92 @@ def test_non_front_ids_still_use_python_store(front):
     assert not rid.startswith("nf-")
     result = q.get_result(rid, timeout=10)
     assert result["result"] == "ans:via python"
+
+
+def test_expect_100_continue(front):
+    """A client sending Expect: 100-continue holds the body until the server's
+    interim reply (curl does this for bodies >1KB and stalls ~1s without it).
+    The front must send 100 Continue, then process the body normally."""
+    import socket
+
+    port = front[0]
+    body = json.dumps({"query": "cont", "k": 1})
+    head = (f"POST /rag?wait=10 HTTP/1.1\r\nHost: x\r\n"
+            f"Content-Type: application/json\r\n"
+            f"Expect: 100-continue\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n")
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    s.sendall(head.encode())
+    buf = b""
+    deadline = time.time() + 10
+    while b"100 Continue" not in buf and time.time() < deadline:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    assert b"HTTP/1.1 100 Continue" in buf, buf[:200]
+    s.sendall(body.encode())
+    while b'"status": "complete"' not in buf and time.time() < deadline:
+        chunk = s.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    s.close()
+    assert b'"status": "complete"' in buf, buf[:400]
+
+
+def test_enqueue_failure_releases_waiter():
+    """If the Python enqueue raises after the front accepted a request, the
+    waiter must get a synthetic error completion (not a silent timeout) and
+    the C-side inflight counter must return to zero — otherwise repeated
+    failures leak capacity toward permanent 503s under a max_inflight cap."""
+    from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
+
+    class ExplodingQueue(RequestQueue):
+        def add_request_with_id(self, rid, query, k):
+            raise RuntimeError("redis down")
+
+    inner = ExplodingQueue(max_batch_size=8, max_wait_time=0.02)
+    nf = NativeFront(inner, port=0, max_inflight=4).start()
+    try:
+        c = _conn(nf.port)
+        status, body = _post(c, json.dumps({"query": "boom"}), "/rag?wait=10")
+        assert status == 200
+        assert body["status"] == "complete"
+        assert body["result"]["status"] == "failed"
+        assert "error" in body["result"]
+        deadline = time.time() + 5
+        while nf.stats()["inflight"] != 0 and time.time() < deadline:
+            time.sleep(0.01)
+        assert nf.stats()["inflight"] == 0
+    finally:
+        nf.stop()
+
+
+def test_stats_reset_on_restart():
+    """A restarted front must report fresh counters, not the previous
+    instance's cumulative stats next to a zeroed inflight."""
+    from rag_serving_system_tpu.api.native_front import NativeFront, FrontQueue
+
+    inner = RequestQueue(max_batch_size=8, max_wait_time=0.02)
+    nf = NativeFront(inner, port=0).start()
+    q = FrontQueue(inner, nf)
+    eng = FakeEngine(q)
+    eng.start()
+    try:
+        c = _conn(nf.port)
+        _post(c, json.dumps({"query": "one"}), "/rag?wait=10")
+        _post(c, "broken")
+        s = nf.stats()
+        assert s["accepted"] >= 1 and s["bad_requests"] >= 1
+    finally:
+        eng.running = False
+        nf.stop()
+        eng.join(timeout=5)
+    nf2 = NativeFront(inner, port=0).start()
+    try:
+        s = nf2.stats()
+        assert s == {"accepted": 0, "completed": 0, "rejected": 0,
+                     "bad_requests": 0, "inflight": 0, "port": nf2.port}
+    finally:
+        nf2.stop()
