@@ -439,7 +439,7 @@ class RagEngine:
         """Device path: encode + top-max_k for ≤cap queries; one host sync."""
         bsz = pick_bucket(self.batch_buckets, len(queries))
         texts = [QUERY_PREFIX + q for q in queries] + [""] * (bsz - len(queries))
-        rows = [self.enc_tok.encode(t) for t in texts]  # tokenize ONCE
+        rows = self.enc_tok.encode_many(texts)  # ONE batch call (GIL-free on HF)
         max_len = pick_bucket(self.settings.encode_len_buckets,
                               max(len(r) for r in rows[:len(queries)]))
         ids, mask = pad_and_stack(rows, max_len, self.enc_tok.pad_id,
@@ -536,6 +536,25 @@ class RagEngine:
             self._prompt_tok_cache.put(key, toks)
         return toks
 
+    def _prompt_tokens_batch(self, texts) -> list:
+        """Memo-fronted BATCH prompt tokenization: cache misses go through
+        the tokenizer's one-call batch API (Rust encode_batch on HF — the
+        GIL is released and rows parallelize; VERDICT r3 #3) instead of a
+        per-row Python loop. Unique-query workloads miss the memo on every
+        row, so the miss path IS the steady-state cost there."""
+        keys = [str(t) for t in texts]
+        out = [self._prompt_tok_cache.get(k) for k in keys]
+        miss = [i for i, v in enumerate(out) if v is None]
+        if miss:
+            # dedup within the batch (rows often share a prompt on repeats)
+            uniq = list(dict.fromkeys(keys[i] for i in miss))
+            fresh = dict(zip(uniq, self.dec_tok.encode_many(uniq)))
+            for i in miss:
+                toks = fresh[keys[i]]
+                self._prompt_tok_cache.put(keys[i], toks)
+                out[i] = toks
+        return out
+
     def stage_prompts(self, prompts: List[str]):
         """Tokenize, pad, and ship a prompt batch to the DEVICE. Runs on the
         stage-1 (prefetch) thread so the tokenizer work and the host→device
@@ -551,7 +570,7 @@ class RagEngine:
         bsz = pick_bucket(self.batch_buckets, len(prompts))
         n = len(prompts)
         padded = list(prompts) + [""] * (bsz - n)
-        rows = [self._prompt_tokens(t) for t in padded]  # tokenize ONCE, memoized
+        rows = self._prompt_tokens_batch(padded)  # tokenize ONCE, memo + batch
 
         metas = None
         if (self.prefix_cache is not None

@@ -78,7 +78,11 @@ def _flash_config(p: int, cfg: DecoderConfig) -> tuple[bool, int]:
     backend, and its block size. The XLA einsum path materializes a
     (B, Hk, G, P, P) f32 score tensor in HBM; flash streams key/value blocks
     through VMEM with online softmax. Any 128-multiple bucket qualifies
-    (block size drops to 128 off the 256-multiples)."""
+    (block size drops to 128 off the 256-multiples).
+    RAG_DISABLE_FLASH=1 forces the einsum path (A/B and escape hatch)."""
+    import os
+    if os.environ.get("RAG_DISABLE_FLASH") == "1":
+        return False, 256
     use = (jax.default_backend() == "tpu" and p >= 256 and p % 128 == 0
            and cfg.head_dim % 128 == 0)
     return use, (256 if p % 256 == 0 else 128)

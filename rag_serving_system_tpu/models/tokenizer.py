@@ -70,6 +70,12 @@ class HashTokenizer:
         return " ".join(f"<{int(i)}>" for i in ids if int(i) not in
                         (self.bos_id, self.eos_id, self.pad_id))
 
+    def encode_many(self, texts: List[str]) -> List[List[int]]:
+        """Batch encode (same contract as HFTokenizer.encode_many). The C
+        fast path is per-string but GIL-releasing and ~5x Python, so a plain
+        loop is already the fast shape here."""
+        return [self.encode(t) for t in texts]
+
     def encode_batch(self, texts: List[str], max_len: int,
                      pad_side: str = "right",
                      truncate_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
@@ -91,13 +97,28 @@ class HFTokenizer:
     def encode(self, text: str) -> List[int]:
         return self.tok.encode(text)
 
+    def encode_many(self, texts: List[str]) -> List[List[int]]:
+        """True batch encode through the Rust `tokenizers` batch API
+        (VERDICT r3 #3): one call tokenizes the whole batch, releasing the
+        GIL and parallelizing across the rayon pool — a ~400-token prompt
+        costs real BPE work per row, and a Python-side per-row loop puts all
+        of it on the dispatch thread under the GIL. Exact parity with
+        per-row `encode` (same add_special_tokens pipeline; pinned by
+        tests/test_hf_integration.py)."""
+        if not texts:
+            return []
+        fast = getattr(self.tok, "_tokenizer", None)  # rust backend
+        if fast is not None:
+            return [e.ids for e in fast.encode_batch(list(texts))]
+        return [self.tok.encode(t) for t in texts]
+
     def decode(self, ids) -> str:
         return self.tok.decode([int(i) for i in ids], skip_special_tokens=True)
 
     def encode_batch(self, texts: List[str], max_len: int,
                      pad_side: str = "right",
                      truncate_side: str = "right") -> Tuple[np.ndarray, np.ndarray]:
-        rows = [self.tok.encode(t) for t in texts]
+        rows = self.encode_many(texts)
         return pad_and_stack(rows, max_len, self.pad_id, pad_side, truncate_side)
 
 

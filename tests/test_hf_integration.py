@@ -164,6 +164,21 @@ def test_hf_tokenizer_left_pad_and_truncate(snapshots):
     assert mask[1, -1] == 1
 
 
+def test_hf_encode_many_matches_per_row_encode(snapshots):
+    """encode_many (Rust batch path, GIL-released) must be id-exact with the
+    per-row encode it replaces on the engine's hot loops (VERDICT r3 #3) —
+    including specials handling and empty strings (batch pad rows)."""
+    _, enc_dir, dec_dir = snapshots
+    for d in (enc_dir, dec_dir):
+        tok = HFTokenizer(d)
+        texts = ["the answer to question 3 is 9 indeed",
+                 "what is the answer to question 7?",
+                 "",  # pad row
+                 "the answer " * 30]
+        assert tok.encode_many(texts) == [tok.encode(t) for t in texts]
+        assert tok.encode_many([]) == []
+
+
 def test_bringup_runbook_offline(snapshots, tmp_path):
     """scripts/bringup_real_weights.py — the full-size field procedure for
     taking downloaded HF snapshots to a verified serving engine — must run
