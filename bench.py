@@ -256,6 +256,9 @@ def main() -> None:
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
+                  # packed prefill is the default; the padded-prefill A/B
+                  # variant records under its own key
+                  + ("_nopack" if not getattr(engine, "packed", False) else "")
                   + ("_pxint8" if engine.prefix_int8 else "")
                   + ("_noqcache" if engine.query_cache_stats() is None else "")
                   # non-default suffix buckets are an experiment, not the

@@ -64,6 +64,17 @@ class Settings:
     # generator prompt-length buckets
     prompt_len_buckets: List[int] = field(
         default_factory=lambda: _parse_int_list(_env("PROMPT_LEN_BUCKETS", "128,256,512,1024")))
+    # PACKED prefill for no-prefix batches (cold path): the batch's real
+    # tokens run back-to-back in one (1, T) stream instead of a padded
+    # (B, P) grid — matmul FLOPs and elementwise HBM traffic scale with
+    # sum(len) (measured ~50% pad waste on squad_real at batch 32).
+    # Exact (bit-identical decode); PACKED_PREFILL=0 restores padded prefill.
+    packed_prefill: bool = field(
+        default_factory=lambda: _env("PACKED_PREFILL", "1").lower() not in ("0", "false"))
+    # packed-stream length bucket step (compiled T shapes are multiples of
+    # this, clamped to >= 1024 on TPU for the flash kernel's block grid)
+    packed_t_step: int = field(
+        default_factory=lambda: int(_env("PACKED_T_STEP", "1024")))
     max_new_tokens: int = field(default_factory=lambda: int(_env("MAX_NEW_TOKENS", "10")))
     # sampling on by default (reference: batch_processor.py:105 do_sample=True);
     # greedy mode gives deterministic output for parity tests / debugging
@@ -91,6 +102,22 @@ class Settings:
     # N x block_n exceeds ~2^35; chunks also bound host->device staging)
     topk_chunk_rows: int = field(
         default_factory=lambda: int(_env("TOPK_CHUNK_ROWS", str(4_194_304))))
+    # retrieval engine: "exact" (default — fused streaming top-k; exact to
+    # 10M docs on one chip) or "ivf" (approximate inverted-file scan,
+    # O(C + nprobe*cap) rows/query — the capacity escape hatch past the
+    # exact regime; single-device only, recall-gated at startup)
+    retriever: str = field(
+        default_factory=lambda: _env("RETRIEVER", "exact"))
+    # IVF knobs: clusters (0 = auto ~4*sqrt(N)), probes per query, and the
+    # startup recall@k gate vs exact search on sampled corpus queries —
+    # an index below the gate refuses to serve (misconfigured nprobe or
+    # unclusterable embeddings; see ops/ivf.py "honest regime notes")
+    ivf_clusters: int = field(
+        default_factory=lambda: int(_env("IVF_CLUSTERS", "0")))
+    ivf_nprobe: int = field(
+        default_factory=lambda: int(_env("IVF_NPROBE", "8")))
+    ivf_recall_gate: float = field(
+        default_factory=lambda: float(_env("IVF_RECALL_GATE", "0.9")))
     # exact prefix-KV caching of repeated RAG contexts (core/prefix_cache.py):
     # retrieval is deterministic, so the "Context:\n..." prefix repeats across
     # requests; cache its KV and prefill only the question suffix

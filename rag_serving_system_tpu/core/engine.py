@@ -53,7 +53,8 @@ from rag_serving_system_tpu.core.prefix_cache import (
     split_prefix_tokens,
 )
 from rag_serving_system_tpu.models.e5 import encode
-from rag_serving_system_tpu.models.qwen2 import compute_prefix_kv, generate
+from rag_serving_system_tpu.models.qwen2 import (compute_prefix_kv, generate,
+                                                 generate_packed)
 from rag_serving_system_tpu.models.tokenizer import (
     get_tokenizer,
     HashTokenizer,
@@ -137,6 +138,26 @@ def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dty
     if use_pallas:
         return cosine_topk_pallas(corpus, emb, k)
     return cosine_topk_reference(corpus, emb, k)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_new_tokens", "max_seg_len", "do_sample", "dtype", "act_quant"))
+def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
+                                max_new_tokens, max_seg_len, do_sample,
+                                dtype, act_quant):
+    """Derive the packed-layout masks from the compact host encoding and run
+    generate_packed (one XLA program per (T, P) shape):
+      stream (3, T) = [ids | seg | pos]; gather (B, P) with -1 = empty slot;
+      last (B,) with -1 = pad row."""
+    ids, seg, pos = stream[0][None], stream[1][None], stream[2][None]
+    prompt_mask = (gather >= 0).astype(jnp.int32)
+    row_valid = last >= 0
+    return generate_packed(
+        params, cfg, ids, seg, pos, jnp.maximum(last, 0),
+        jnp.maximum(gather, 0), prompt_mask, rng,
+        max_new_tokens=max_new_tokens, max_seg_len=max_seg_len,
+        do_sample=do_sample, dtype=dtype, row_valid=row_valid,
+        act_quant=act_quant)
 
 
 class RagEngine:
@@ -238,7 +259,15 @@ class RagEngine:
         self.corpus_scales = None
         self.corpus_mean = None
         self.corpus_chunks = None
-        if n_dev > 1:
+        self.ivf_index = None
+        retriever_kind = settings.retriever
+        if retriever_kind == "ivf" and n_dev > 1:
+            logger.warning("RETRIEVER=ivf is single-device only; the mesh "
+                           "path serves the exact sharded scan instead")
+            retriever_kind = "exact"
+        if retriever_kind == "ivf":
+            self._build_ivf(emb)
+        elif n_dev > 1:
             self.corpus = shard_corpus(jnp.asarray(emb, dtype=corpus_dt), mesh)
         elif corpus_dtype == "int8":
             # host-side chunked quantization: no corpus-size device
@@ -259,6 +288,33 @@ class RagEngine:
         self.max_k = min(settings.max_k, self.n_docs)
         self._rng = jax.random.PRNGKey(0)
         self.timer = StageTimer()
+
+        # PACKED prefill (cold-path pad-waste killer, VERDICT r3 #1): only
+        # engaged for no-prefix batches; single-device only (the packed
+        # stream has no batch axis to dp-shard). B is pinned to the largest
+        # batch bucket — decode is weight-streaming-bound so pad rows are
+        # nearly free, and pinning collapses the compile matrix to the
+        # packed-length buckets alone.
+        self.packed = settings.packed_prefill and n_dev == 1
+        if self.packed:
+            p_auto, mean_len = self._auto_packed_p(documents)
+            self.packed_p = int(os.environ.get("PACKED_P", "0")) or p_auto
+            cap = self.batch_buckets[-1]
+            step = max(settings.packed_t_step,
+                       1024 if self.use_pallas else 256)
+            rnd = lambda v: min(-(-int(v) // step) * step,  # noqa: E731
+                                -(-cap * self.packed_p // step) * step)
+            # buckets: small sizes for partial batches, a fine ladder around
+            # the sampled full-batch mean (the T distribution concentrates
+            # there), and the hard top (every row at packed_p)
+            typ = cap * mean_len
+            self.packed_t_buckets = sorted(
+                {rnd(step * i) for i in (1, 2, 3, 4)}
+                | {rnd(typ * f) for f in (0.6, 0.75, 0.9, 1.0, 1.15, 1.35)}
+                | {rnd(cap * self.packed_p)})
+            logger.info("packed prefill on: P=%d (sampled mean prompt %d), "
+                        "T buckets %s", self.packed_p, mean_len,
+                        self.packed_t_buckets)
 
         # exact prefix-KV cache. Under a mesh the VALUE pool is TP-sharded on
         # the flattened (Hk*D) dim — the same "model"-axis split as the
@@ -341,6 +397,45 @@ class RagEngine:
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
     # ------------------------------------------------------------------
 
+    def _build_ivf(self, emb: np.ndarray) -> None:
+        """RETRIEVER=ivf: build the inverted-file index (ops/ivf.py) and
+        gate it on recall@5 vs exact search before serving (VERDICT r3 #5 —
+        a capacity escape hatch must be deployable AND verified). The gate
+        queries are sampled corpus rows; exact ranks come from a chunked
+        host-side scan so the dense corpus never needs device HBM (the
+        point of IVF is corpora past the exact-scan regime)."""
+        from rag_serving_system_tpu.ops.ivf import build_ivf, ivf_search
+
+        s = self.settings
+        n = emb.shape[0]
+        n_clusters = s.ivf_clusters or max(8, min(n, int(4 * np.sqrt(n))))
+        self.ivf_index = build_ivf(jnp.asarray(emb),
+                                   n_clusters=min(n_clusters, n), iters=10)
+        built = self.ivf_index.centroids.shape[0]
+        self.ivf_nprobe = max(1, min(s.ivf_nprobe, built))
+        self.corpus = None
+
+        # recall gate: sampled corpus rows as queries, exact oracle on host
+        rng = np.random.default_rng(0)
+        k_gate = min(5, self.max_k if hasattr(self, "max_k") else 5, n)
+        q = emb[rng.choice(n, size=min(64, n), replace=False)]
+        exact = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :k_gate]
+        _, got = ivf_search(self.ivf_index, jnp.asarray(q), k_gate,
+                            nprobe=self.ivf_nprobe)
+        got = np.asarray(got)
+        hits = sum(len(set(exact[i]) & set(got[i])) for i in range(len(q)))
+        recall = hits / exact.size
+        logger.info("IVF index: %d clusters, nprobe=%d, startup recall@%d "
+                    "= %.3f (gate %.2f)", built, self.ivf_nprobe, k_gate,
+                    recall, s.ivf_recall_gate)
+        if recall < s.ivf_recall_gate:
+            raise ValueError(
+                f"IVF startup recall@{k_gate} = {recall:.3f} is below the "
+                f"gate {s.ivf_recall_gate} — raise IVF_NPROBE (current "
+                f"{self.ivf_nprobe}/{built} clusters), lower IVF_RECALL_GATE "
+                f"explicitly, or serve RETRIEVER=exact (this corpus may not "
+                f"cluster; see ops/ivf.py regime notes)")
+
     def _put_batch(self, arr):
         """Place a host batch on device; dp-sharded over the mesh "data" axis
         when the batch divides evenly, replicated otherwise."""
@@ -358,6 +453,10 @@ class RagEngine:
         return _encode_compiled(self.enc_params, self.enc_cfg, ids, mask, self.dtype)
 
     def _topk(self, q_emb, k: int):
+        if self.ivf_index is not None:
+            from rag_serving_system_tpu.ops.ivf import ivf_search
+            return ivf_search(self.ivf_index, q_emb, k,
+                              nprobe=self.ivf_nprobe)
         if self.mesh is not None and self.mesh.devices.size > 1:
             return sharded_cosine_topk(self.corpus, q_emb, k, self.mesh,
                                        valid_n=self.n_docs, use_pallas=self.use_pallas)
@@ -449,9 +548,11 @@ class RagEngine:
         mask[len(queries):, 0] = 1
         k = self.max_k
         if (self.mesh is not None and self.mesh.devices.size > 1) \
-                or self.corpus_chunks is not None:
+                or self.corpus_chunks is not None \
+                or self.ivf_index is not None:
             # chunked corpora dispatch one program per chunk (a single fused
-            # module would recreate the N×block_n compile ceiling)
+            # module would recreate the N×block_n compile ceiling); IVF runs
+            # its own two-stage search program
             q_emb = self._embed_jit(self._put_batch(ids), self._put_batch(mask))
             _, idx = self._topk(q_emb, k)
         else:
@@ -508,6 +609,63 @@ class RagEngine:
                 context=f"{doc}\n---\n{sample[(i + 1) % len(sample)]}")))
             for i, doc in enumerate(sample))
         return min(768, max(128, -(-longest // 128) * 128))
+
+    def _auto_packed_p(self, documents: List[str]) -> tuple[int, int]:
+        """Packed-mode per-row cache bucket: sample FULL prompts (2-doc
+        context + a typical-length question) and cover the max, picked from
+        the configured prompt buckets (so PACKED_P aligns with the padded
+        path's shapes). Returns (bucket, sampled mean prompt tokens) — the
+        mean centers the packed-length bucket ladder."""
+        buckets = self.settings.prompt_len_buckets
+        if not documents:
+            return buckets[-1], max(buckets[0] // 2, 16)
+        n = len(documents)
+        step = max(1, n // 64)
+        sample = [documents[i] for i in range(0, n, step)][:64]
+        q = "what is the answer to this sampled question about the subject?"
+        lens = [len(self.dec_tok.encode(PROMPT_TEMPLATE.format(
+                    context=f"{doc}{DOC_JOIN}{sample[(i + 1) % len(sample)]}",
+                    question=q)))
+                for i, doc in enumerate(sample)]
+        # +32 headroom: real questions can run longer than the placeholder
+        return (pick_bucket(buckets, max(lens) + 32),
+                max(16, sum(lens) // len(lens)))
+
+    def _stage_packed(self, rows: list, n: int):
+        """Build the packed prompt layout (see models/qwen2.py
+        prefill_packed): rows back-to-back in one (1, T) stream. Host side
+        produces THREE device puts: a (3, T) [ids | seg | pos] stream, the
+        (B, P) gather map (-1 = empty slot), and (B,) last-token indices
+        (-1 = pad row). B is pinned to the largest batch bucket."""
+        cap = self.batch_buckets[-1]
+        p = self.packed_p
+        rows = [r[-p:] for r in rows[:n]]          # left-truncate over-long
+        total = sum(len(r) for r in rows)
+        t = pick_bucket(self.packed_t_buckets, total)
+        stream = np.zeros((3, t), dtype=np.int32)
+        stream[0] = self.dec_tok.pad_id
+        stream[1] = cap                             # pad segment id
+        gather = np.full((cap, p), -1, dtype=np.int32)
+        last = np.full((cap,), -1, dtype=np.int32)
+        off = 0
+        for b, r in enumerate(rows):
+            ln = len(r)
+            stream[0, off:off + ln] = r
+            stream[1, off:off + ln] = b
+            stream[2, off:off + ln] = np.arange(ln)
+            gather[b, p - ln:] = off + np.arange(ln)
+            last[b] = off + ln - 1
+            off += ln
+        return ("packed", self._put_batch(stream), self._put_batch(gather),
+                self._put_batch(last), n)
+
+    def _generate_packed_dispatch(self, stream, gather, last, rng):
+        """Single packed-generate dispatch. The tiny derivations (masks from
+        the -1 coding) happen inside the jit so the host ships 3 tensors."""
+        return _packed_unpack_and_generate(
+            self.dec_params, self.dec_cfg, stream, gather, last, rng,
+            self.settings.max_new_tokens, self.packed_p,
+            self.settings.do_sample, self.dtype, self.act_quant)
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
         """Tokenize a context prefix, memoized by cache key — rows sharing a
@@ -616,6 +774,10 @@ class RagEngine:
         else:
             plen = pick_bucket(self.settings.prompt_len_buckets,
                                max(len(r) for r in rows[:n]))
+        if metas is None and self.packed:
+            # no-prefix batch: packed layout (FLOPs scale with sum(len),
+            # not bsz * plen) — the cold path's biggest single win
+            return self._stage_packed(rows, n)
         # truncate_side="left": over-long prompts keep the tail (the question
         # and the answer cue), dropping leading context instead
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
@@ -623,7 +785,7 @@ class RagEngine:
         mask[n:, -1] = 1  # keep pad rows well-defined
         # pad rows are born done so EOS early-exit fires on partial batches
         row_valid = np.arange(bsz) < n
-        return (self._put_batch(ids), self._put_batch(mask),
+        return ("padded", self._put_batch(ids), self._put_batch(mask),
                 self._put_batch(row_valid), n, metas)
 
     def generate_tokens(self, prompts: List[str] | None = None, staged=None):
@@ -637,12 +799,15 @@ class RagEngine:
         keep this call to a bare dispatch."""
         if staged is None:
             staged = self.stage_prompts(prompts)
-        ids, mask, row_valid, n, metas = staged
+        self._rng, rng = jax.random.split(self._rng)
+        if staged[0] == "packed":
+            _, stream, gather, last, n = staged
+            return self._generate_packed_dispatch(stream, gather, last, rng), n
+        _, ids, mask, row_valid, n, metas = staged
         prefix_kv = prefix_len = None
         if metas is not None and any(m is not None for m in metas):
             with self.timer.stage("prefix_resolve"):
                 prefix_kv, prefix_len = self._resolve_prefixes(metas)
-        self._rng, rng = jax.random.split(self._rng)
         toks = generate(self.dec_params, self.dec_cfg, ids, mask, rng,
                         max_new_tokens=self.settings.max_new_tokens,
                         do_sample=self.settings.do_sample, dtype=self.dtype,
@@ -782,27 +947,35 @@ class RagEngine:
                 qs = [f"u{b}e{elen}r{r} {tail}" for r in range(b)]
                 jobs.append((f"encode b{b} len{elen}", functools.partial(
                     self.embed_and_retrieve, qs, [1] * b)))
-        # FULL-prompt generate per (batch, prompt-len) bucket. Needed
-        # whenever a batch takes the no-prefix path: always when the
-        # prefix cache is off (~400-token SQuAD contexts → the 448
-        # bucket), and with the cache ON for all-bypass batches (every
-        # row below min_tokens or past the pool) — a different jit trace
-        # from the prefix-variant warmed below. Compile now or the first
-        # such batch pays a multi-minute XLA compile mid-serving.
-        cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
-        skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
-        if skipped:
-            logger.warning(
-                "warmup skipping prompt buckets %s > cap %d "
-                "(raise WARMUP_PROMPT_CAP to cover them); the first "
-                "batch landing there will compile mid-serving", skipped, cap)
-        for b in sizes:
-            for plen in self.settings.prompt_len_buckets:
-                if plen > cap:
-                    continue
+        # FULL-prompt generate coverage. With PACKED prefill on, EVERY
+        # no-prefix batch (prefix cache off, adaptive bypass, all-bypass)
+        # runs the packed trace — one program per packed-length bucket —
+        # and the padded (batch x prompt-len) no-prefix matrix is
+        # unreachable, so it is not compiled. With packing off, the padded
+        # matrix is the no-prefix path and compiles as before; either way,
+        # the first such batch must never pay a multi-minute XLA compile
+        # mid-serving.
+        if self.packed:
+            for t in self.packed_t_buckets:
                 self._rng, rng = jax.random.split(self._rng)
-                jobs.append((f"generate b{b} p{plen}", functools.partial(
-                    self._warm_generate, b, plen, rng)))
+                jobs.append((f"packed-generate t{t}", functools.partial(
+                    self._warm_packed, t, rng)))
+        else:
+            cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
+            skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
+            if skipped:
+                logger.warning(
+                    "warmup skipping prompt buckets %s > cap %d "
+                    "(raise WARMUP_PROMPT_CAP to cover them); the first "
+                    "batch landing there will compile mid-serving",
+                    skipped, cap)
+            for b in sizes:
+                for plen in self.settings.prompt_len_buckets:
+                    if plen > cap:
+                        continue
+                    self._rng, rng = jax.random.split(self._rng)
+                    jobs.append((f"generate b{b} p{plen}", functools.partial(
+                        self._warm_generate, b, plen, rng)))
         if self.prefix_cache is not None:
             # pre-compile every miss-compute shape (see prefix_compute_buckets)
             # AND the matching pool-scatter shape — put_batch scatters the
@@ -836,6 +1009,29 @@ class RagEngine:
         with self._query_cache_lock:
             self.query_cache_hits = 0
             self.query_cache_misses = 0
+
+    def _warm_packed(self, t: int, rng) -> None:
+        """One packed-generate program at packed-length bucket t (B and P
+        are engine-static, so t alone keys the program)."""
+        cap = self.batch_buckets[-1]
+        p = self.packed_p
+        stream = np.zeros((3, t), np.int32)
+        stream[0] = self.dec_tok.pad_id
+        stream[1] = cap
+        gather = np.full((cap, p), -1, np.int32)
+        last = np.full((cap,), -1, np.int32)
+        ln = max(1, min(p, t // cap))
+        off = 0
+        for b in range(cap):
+            if off + ln > t:
+                break
+            stream[1, off:off + ln] = b
+            stream[2, off:off + ln] = np.arange(ln)
+            gather[b, p - ln:] = off + np.arange(ln)
+            last[b] = off + ln - 1
+            off += ln
+        self._generate_packed_dispatch(
+            jnp.asarray(stream), jnp.asarray(gather), jnp.asarray(last), rng)
 
     def _warm_generate(self, b: int, plen: int, rng) -> None:
         """One no-prefix generate program at (batch=b, prompt=plen)."""

@@ -77,3 +77,44 @@ def test_ivf_small_corpus_clamps_nprobe_and_k(rng):
                            [8, 2, 16])
     assert len(out) == 3 and all(len(row) >= 1 for row in out)
     assert all(d in docs for row in out for d in row)
+
+
+def test_engine_serves_ivf(rng):
+    """RETRIEVER=ivf is env-selectable in the serving engine (VERDICT r3 #5):
+    the engine builds the index, passes the startup recall gate on
+    clusterable data, and serves retrieval through ivf_search."""
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    corpus = clustered_corpus(rng, n_clusters=8, per=32, d=64)
+    docs = [f"doc {i}" for i in range(corpus.shape[0])]
+    s = Settings(model_preset="tiny", batch_buckets=[2], max_batch_size=2,
+                 encode_len_buckets=[16], prompt_len_buckets=[64],
+                 max_new_tokens=2, retriever="ivf", ivf_clusters=8,
+                 ivf_nprobe=8, ivf_recall_gate=0.9)
+    eng = RagEngine(s, docs, corpus)
+    assert eng.ivf_index is not None and eng.corpus is None
+    idx = eng.embed_and_retrieve(["doc 3", "doc 7"], [2, 2])
+    assert len(idx) == 2 and all(len(r) == 2 for r in idx)
+    # nprobe == n_clusters degenerates to exact: parity with an exact engine
+    s2 = Settings(model_preset="tiny", batch_buckets=[2], max_batch_size=2,
+                  encode_len_buckets=[16], prompt_len_buckets=[64],
+                  max_new_tokens=2)
+    exact = RagEngine(s2, docs, corpus)
+    assert idx == exact.embed_and_retrieve(["doc 3", "doc 7"], [2, 2])
+
+
+def test_engine_ivf_recall_gate_refuses_unclusterable(rng):
+    """Uniform random embeddings don't cluster; the startup gate must refuse
+    to serve instead of silently degrading recall."""
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    corpus = rng.standard_normal((512, 64)).astype(np.float32)
+    docs = [f"doc {i}" for i in range(512)]
+    s = Settings(model_preset="tiny", batch_buckets=[2], max_batch_size=2,
+                 encode_len_buckets=[16], prompt_len_buckets=[64],
+                 max_new_tokens=2, retriever="ivf", ivf_clusters=64,
+                 ivf_nprobe=1, ivf_recall_gate=0.9)
+    with pytest.raises(ValueError, match="recall"):
+        RagEngine(s, docs, corpus)
