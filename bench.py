@@ -144,6 +144,9 @@ def main() -> None:
     os.environ.setdefault("QUANT_ACT", "int8")
     batch = int(os.environ.get("BENCH_BATCH", "32"))
     n_batches = int(os.environ.get("BENCH_BATCHES", "20"))
+    # decode-heavy variant (VERDICT r3 #6): MAX_NEW_TOKENS past the
+    # reference's 10 exercises the fixed-scan decode regime
+    mnt = int(os.environ.get("BENCH_MNT", "10"))
 
     settings = Settings(
         model_preset="tiny" if mode == "tiny" else "full",
@@ -151,7 +154,7 @@ def main() -> None:
         encode_len_buckets=[32, 64],
         prompt_len_buckets=[64, 96, 128] if config == "short_facts"
         else [192, 256, 384, 448, 512, 640, 1024],
-        max_new_tokens=10,
+        max_new_tokens=mnt,
         max_k=16,
         max_batch_size=batch,
     )
@@ -255,6 +258,7 @@ def main() -> None:
         "metric": f"rag_e2e_throughput_b{batch}"
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
+                  + (f"_mnt{mnt}" if mnt != 10 else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
                   # packed prefill is the default; the padded-prefill A/B
                   # variant records under its own key

@@ -77,6 +77,10 @@ PROMPT_TEMPLATE = "Context:\n{context}\n\nQuestion: {question}\n\nThe Answer to 
 PREFIX_TEMPLATE = "Context:\n{context}\n\nQuestion:"
 DOC_JOIN = "\n---\n"
 QUERY_PREFIX = "query: "
+# packed prefill must undercut the padded token count by this factor to be
+# worth its per-token overhead (segment-masked flash + KV unpack-gather,
+# ~10-15% measured on v5e); tunable for A/B via env
+PACKED_MARGIN = float(os.environ.get("PACKED_MARGIN", "0.85"))
 # suffix (question + answer cue) length buckets for the prefix-cache path —
 # finer than the full-prompt buckets because suffixes are short. Suffix
 # prefill cost is ~linear in the bucket length (it is MXU-bound), so the
@@ -306,11 +310,18 @@ class RagEngine:
                                 -(-cap * self.packed_p // step) * step)
             # buckets: small sizes for partial batches, a fine ladder around
             # the sampled full-batch mean (the T distribution concentrates
-            # there), and the hard top (every row at packed_p)
+            # there), and the hard top (every row at packed_p). The ladder
+            # runs to 1.7x the estimate because the sample mean can sit well
+            # under the served mean (retrieval favors long docs — measured
+            # 284 sampled vs 385 served on squad_real, r4): a sum that
+            # overflows the ladder would otherwise jump to the hard top and
+            # pay MORE padding than the padded path it replaces.
             typ = cap * mean_len
             self.packed_t_buckets = sorted(
                 {rnd(step * i) for i in (1, 2, 3, 4)}
-                | {rnd(typ * f) for f in (0.6, 0.75, 0.9, 1.0, 1.15, 1.35)}
+                | {rnd(typ * f)
+                   for f in (0.55, 0.65, 0.75, 0.85, 0.95, 1.05, 1.15,
+                             1.25, 1.4, 1.55, 1.7)}
                 | {rnd(cap * self.packed_p)})
             logger.info("packed prefill on: P=%d (sampled mean prompt %d), "
                         "T buckets %s", self.packed_p, mean_len,
@@ -631,17 +642,17 @@ class RagEngine:
         return (pick_bucket(buckets, max(lens) + 32),
                 max(16, sum(lens) // len(lens)))
 
-    def _stage_packed(self, rows: list, n: int):
+    def _stage_packed(self, rows: list, n: int, t: int):
         """Build the packed prompt layout (see models/qwen2.py
         prefill_packed): rows back-to-back in one (1, T) stream. Host side
         produces THREE device puts: a (3, T) [ids | seg | pos] stream, the
         (B, P) gather map (-1 = empty slot), and (B,) last-token indices
-        (-1 = pad row). B is pinned to the largest batch bucket."""
+        (-1 = pad row). B is pinned to the largest batch bucket. `t` is the
+        packed-length bucket stage_prompts already picked (it gates packed
+        vs padded on it)."""
         cap = self.batch_buckets[-1]
         p = self.packed_p
         rows = [r[-p:] for r in rows[:n]]          # left-truncate over-long
-        total = sum(len(r) for r in rows)
-        t = pick_bucket(self.packed_t_buckets, total)
         stream = np.zeros((3, t), dtype=np.int32)
         stream[0] = self.dec_tok.pad_id
         stream[1] = cap                             # pad segment id
@@ -776,8 +787,14 @@ class RagEngine:
                                max(len(r) for r in rows[:n]))
         if metas is None and self.packed:
             # no-prefix batch: packed layout (FLOPs scale with sum(len),
-            # not bsz * plen) — the cold path's biggest single win
-            return self._stage_packed(rows, n)
+            # not bsz * plen). Packing pays a per-token overhead (segment-
+            # masked flash + the KV unpack-gather), so only engage when the
+            # packed T bucket genuinely undercuts the padded program's token
+            # count; otherwise the padded trace is strictly better.
+            total = sum(min(len(r), self.packed_p) for r in rows[:n])
+            t = pick_bucket(self.packed_t_buckets, total)
+            if t <= PACKED_MARGIN * bsz * plen:
+                return self._stage_packed(rows, n, t)
         # truncate_side="left": over-long prompts keep the tail (the question
         # and the answer cue), dropping leading context instead
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
@@ -947,35 +964,34 @@ class RagEngine:
                 qs = [f"u{b}e{elen}r{r} {tail}" for r in range(b)]
                 jobs.append((f"encode b{b} len{elen}", functools.partial(
                     self.embed_and_retrieve, qs, [1] * b)))
-        # FULL-prompt generate coverage. With PACKED prefill on, EVERY
-        # no-prefix batch (prefix cache off, adaptive bypass, all-bypass)
-        # runs the packed trace — one program per packed-length bucket —
-        # and the padded (batch x prompt-len) no-prefix matrix is
-        # unreachable, so it is not compiled. With packing off, the padded
-        # matrix is the no-prefix path and compiles as before; either way,
-        # the first such batch must never pay a multi-minute XLA compile
-        # mid-serving.
+        # FULL-prompt generate coverage. With PACKED prefill on, a no-prefix
+        # batch (prefix cache off, adaptive bypass, all-bypass) runs the
+        # packed trace — one program per packed-length bucket — but falls
+        # back to the padded trace whenever the packed bucket would not
+        # undercut bsz*plen (PACKED_MARGIN gate in stage_prompts), so BOTH
+        # matrices must be compiled; with packing off only the padded one
+        # is reachable. Either way, the first such batch must never pay a
+        # multi-minute XLA compile mid-serving.
         if self.packed:
             for t in self.packed_t_buckets:
                 self._rng, rng = jax.random.split(self._rng)
                 jobs.append((f"packed-generate t{t}", functools.partial(
                     self._warm_packed, t, rng)))
-        else:
-            cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
-            skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
-            if skipped:
-                logger.warning(
-                    "warmup skipping prompt buckets %s > cap %d "
-                    "(raise WARMUP_PROMPT_CAP to cover them); the first "
-                    "batch landing there will compile mid-serving",
-                    skipped, cap)
-            for b in sizes:
-                for plen in self.settings.prompt_len_buckets:
-                    if plen > cap:
-                        continue
-                    self._rng, rng = jax.random.split(self._rng)
-                    jobs.append((f"generate b{b} p{plen}", functools.partial(
-                        self._warm_generate, b, plen, rng)))
+        cap = int(os.environ.get("WARMUP_PROMPT_CAP", "1024"))
+        skipped = [p for p in self.settings.prompt_len_buckets if p > cap]
+        if skipped:
+            logger.warning(
+                "warmup skipping prompt buckets %s > cap %d "
+                "(raise WARMUP_PROMPT_CAP to cover them); the first "
+                "batch landing there will compile mid-serving",
+                skipped, cap)
+        for b in sizes:
+            for plen in self.settings.prompt_len_buckets:
+                if plen > cap:
+                    continue
+                self._rng, rng = jax.random.split(self._rng)
+                jobs.append((f"generate b{b} p{plen}", functools.partial(
+                    self._warm_generate, b, plen, rng)))
         if self.prefix_cache is not None:
             # pre-compile every miss-compute shape (see prefix_compute_buckets)
             # AND the matching pool-scatter shape — put_batch scatters the

@@ -178,6 +178,35 @@ def test_engine_packed_matches_padded(corpus):
         assert a == b, (n, a, b)
 
 
+def test_engine_packed_margin_gate(corpus):
+    """stage_prompts only stages packed when the packed T bucket undercuts
+    PACKED_MARGIN * bsz * plen; otherwise it falls back to the padded trace
+    (round 4: a sum just past a bucket edge must never pay MORE padding
+    packed than padded would)."""
+    eng = _engine(corpus, packed=True)
+    qs = ["document 3 states fact number 3"] * 4
+    prepared = eng.prepare(qs, [2] * 4)
+    staged = eng.stage_prompts(prepared)
+    # with the margin forced to 0 the gate can never pass -> padded staging
+    import rag_serving_system_tpu.core.engine as eng_mod
+    old = eng_mod.PACKED_MARGIN
+    try:
+        eng_mod.PACKED_MARGIN = 0.0
+        staged_forced = eng.stage_prompts(prepared)
+        assert staged_forced[0] == "padded"
+        # and the padded fallback produces the same answers as packed
+        eng_mod.PACKED_MARGIN = 10.0   # always pack
+        staged_pk = eng.stage_prompts(prepared)
+        assert staged_pk[0] == "packed"
+        a = eng.finalize_tokens(eng.generate_tokens(staged=staged_pk))
+        b = eng.finalize_tokens(eng.generate_tokens(staged=staged_forced))
+        assert a == b
+    finally:
+        eng_mod.PACKED_MARGIN = old
+    # default staging picks whichever the gate says; both are valid programs
+    assert staged[0] in ("packed", "padded")
+
+
 def test_engine_packed_overlong_prompt_truncates(corpus):
     """Rows longer than the packed P bucket left-truncate (tail kept) —
     same contract as the padded path's largest bucket."""
