@@ -53,13 +53,14 @@ class BatchProcessor(threading.Thread):
         # stage 1 is the pipeline limiter (each batch pays a host-synced
         # retrieval transfer — ~26 ms through the axon tunnel — plus
         # tokenize), so PREFETCH_WORKERS=2 overlaps two batches' stage-1 and
-        # moves the bottleneck back to device generate (A/B on squad_real in
-        # PERFORMANCE.md). Default stays 1: concurrent get_batch calls split
-        # the queue into partial batches, which is only safe when every
-        # batch bucket is warmed (WARMUP_FULL servers are; ad-hoc engines
-        # may not be).
+        # moves the bottleneck back to device generate: +33% on the cold
+        # squad_real path, neutral on the warm path (A/B in PERFORMANCE.md).
+        # Default 2 (round 4). Caveat: concurrent get_batch calls can split
+        # the queue into partial batches, whose buckets engine.warmup()
+        # compiles — an ad-hoc engine that skipped warmup just pays a
+        # one-time compile mid-run.
         self.prefetch_workers = max(1, int(os.environ.get(
-            "PREFETCH_WORKERS", "1"))) if prefetch else 0
+            "PREFETCH_WORKERS", "2"))) if prefetch else 0
         # depth of the prepared-batch pipeline between stage 1 and stage 2;
         # 0 keeps queue.Queue's unbounded semantics; otherwise at least one
         # ready slot per stage-1 worker so they don't serialize on handoff
