@@ -267,6 +267,10 @@ def main() -> None:
                   + ("_noqcache" if engine.query_cache_stats() is None else "")
                   # non-default suffix buckets are an experiment, not the
                   # protocol config — don't overwrite the canonical entry
+                  # a real (HF/BPE) tokenizer replaces the hash fallback —
+                  # distinct key so host-path cost regimes don't mix
+                  + ("_bpetok" if type(engine.dec_tok).__name__ == "HFTokenizer"
+                     else "")
                   + (("_sfx" + os.environ["SUFFIX_LEN_BUCKETS"].replace(",", "_"))
                      if os.environ.get("SUFFIX_LEN_BUCKETS", "32,64") != "32,64"
                      else ""),
