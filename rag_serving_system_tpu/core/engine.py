@@ -224,14 +224,29 @@ class RagEngine:
             logger.warning("QUANT_ACT=int8 requires QUANT_WEIGHTS=int8/int4; "
                            "prefill stays bf16")
 
-        self.enc_tok = (get_tokenizer(settings.embed_model_name, self.enc_cfg.vocab_size)
-                        if enc_real else
-                        HashTokenizer(self.enc_cfg.vocab_size, pad_id=self.enc_cfg.pad_token_id))
-        self.dec_tok = (get_tokenizer(settings.llm_model_name, self.dec_cfg.vocab_size)
-                        if dec_real else
-                        HashTokenizer(self.dec_cfg.vocab_size,
-                                      pad_id=self.dec_cfg.pad_token_id,
-                                      eos_id=self.dec_cfg.eos_token_id))
+        # a real tokenizer loads when real weights were found, OR when the
+        # model name is an explicit local directory (tokenizer-only
+        # snapshot, e.g. data/bpe_tokenizer — lets host-path cost be
+        # measured under real BPE without the 2 GB checkpoints; ids are
+        # still valid for random-init weights as long as the tokenizer
+        # vocab fits the model vocab, which _fits_vocab enforces)
+        self.enc_tok = (self._fits_vocab(
+                            get_tokenizer(settings.embed_model_name,
+                                          self.enc_cfg.vocab_size),
+                            self.enc_cfg.vocab_size)
+                        if enc_real or os.path.isdir(settings.embed_model_name)
+                        else None) or HashTokenizer(
+                            self.enc_cfg.vocab_size,
+                            pad_id=self.enc_cfg.pad_token_id)
+        self.dec_tok = (self._fits_vocab(
+                            get_tokenizer(settings.llm_model_name,
+                                          self.dec_cfg.vocab_size),
+                            self.dec_cfg.vocab_size)
+                        if dec_real or os.path.isdir(settings.llm_model_name)
+                        else None) or HashTokenizer(
+                            self.dec_cfg.vocab_size,
+                            pad_id=self.dec_cfg.pad_token_id,
+                            eos_id=self.dec_cfg.eos_token_id)
 
         # corpus on device, normalized once (shared helper with retrievers)
         from rag_serving_system_tpu.core.retriever import _l2n
@@ -620,6 +635,21 @@ class RagEngine:
                 context=f"{doc}\n---\n{sample[(i + 1) % len(sample)]}")))
             for i, doc in enumerate(sample))
         return min(768, max(128, -(-longest // 128) * 128))
+
+    @staticmethod
+    def _fits_vocab(tok, vocab_size: int):
+        """Guard a loaded tokenizer against the model's embedding table: a
+        tokenizer with more ids than the model has rows would index out of
+        range. Returns the tokenizer, or None to trigger the hash fallback."""
+        hf = getattr(tok, "tok", None)
+        if hf is None:
+            return tok  # hash fallback is constructed at the model vocab
+        if len(hf) > vocab_size:
+            logger.warning(
+                "tokenizer vocab %d exceeds model vocab %d — falling back "
+                "to the hash tokenizer", len(hf), vocab_size)
+            return None
+        return tok
 
     def _auto_packed_p(self, documents: List[str]) -> tuple[int, int]:
         """Packed-mode per-row cache bucket: sample FULL prompts (2-doc

@@ -67,3 +67,34 @@ def test_token_counts_match_hash_realism(tok):
     hsh = np.array([len(hash_tok.encode(c)) for c in ctx])
     ratio = bpe.sum() / hsh.sum()
     assert 0.85 < ratio < 1.15, f"BPE/hash token ratio {ratio:.2f}"
+
+
+def test_engine_loads_tokenizer_only_dir():
+    """Pointing LLM_MODEL_NAME/EMBED_MODEL_NAME at a local tokenizer-only
+    directory loads the real tokenizer even without weight snapshots
+    (host-path measurement path, round 4); an oversized vocab falls back."""
+    import jax
+    import numpy as np
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+    from rag_serving_system_tpu.models.tokenizer import HashTokenizer, HFTokenizer
+
+    docs = [f"document number {i} about subject {i}" for i in range(8)]
+    emb = np.random.default_rng(0).normal(size=(8, 64)).astype(np.float32)
+    s = Settings(model_preset="tiny", llm_model_name=TOK_DIR,
+                 embed_model_name=TOK_DIR,
+                 batch_buckets=[2], max_batch_size=2,
+                 encode_len_buckets=[16], prompt_len_buckets=[64],
+                 max_new_tokens=2, max_k=2)
+    eng = RagEngine(s, docs, emb)
+    # tiny decoder vocab (512) < BPE vocab (27k): the guard must fall back
+    assert isinstance(eng.dec_tok, HashTokenizer)
+    assert isinstance(eng.enc_tok, HashTokenizer)
+
+    # full-size vocab (151936) fits: the BPE loads through the HF path
+    # (full-size param init is too heavy for a unit test; check the
+    # tokenizer-resolution seam directly)
+    from rag_serving_system_tpu.models.tokenizer import get_tokenizer
+    tok = RagEngine._fits_vocab(get_tokenizer(TOK_DIR, 151936), 151936)
+    assert isinstance(tok, HFTokenizer)
+    assert RagEngine._fits_vocab(get_tokenizer(TOK_DIR, 151936), 512) is None
