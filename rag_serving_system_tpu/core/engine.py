@@ -321,6 +321,10 @@ class RagEngine:
             cap = self.batch_buckets[-1]
             step = max(settings.packed_t_step,
                        1024 if self.use_pallas else 256)
+            # flash_attention_packed requires T % 256 == 0; a step that
+            # isn't a 256-multiple would silently drop every bucket to the
+            # O(T^2) reference attention (review finding, round 4)
+            step = -(-step // 256) * 256
             rnd = lambda v: min(-(-int(v) // step) * step,  # noqa: E731
                                 -(-cap * self.packed_p // step) * step)
             # buckets: small sizes for partial batches, a fine ladder around
@@ -442,10 +446,32 @@ class RagEngine:
         self.corpus = None
 
         # recall gate: sampled corpus rows as queries, exact oracle on host
+        # (settings.max_k, not self.max_k — this runs before __init__
+        # assigns it; review finding, round 4)
         rng = np.random.default_rng(0)
-        k_gate = min(5, self.max_k if hasattr(self, "max_k") else 5, n)
+        k_gate = max(1, min(5, s.max_k, n))
         q = emb[rng.choice(n, size=min(64, n), replace=False)]
-        exact = np.argsort(-(q @ emb.T), axis=1, kind="stable")[:, :k_gate]
+        # chunked scan with a running top-k merge: the full (nq, N) score
+        # matrix and a full argsort are exactly what the docstring promises
+        # NOT to do at IVF scale (the gate only compares top-k SETS, so
+        # within-k order is irrelevant). Review finding, round 4.
+        best_s = best_i = None
+        for i in range(0, n, 262144):
+            sc = q @ emb[i:i + 262144].T
+            kk = min(k_gate, sc.shape[1])
+            part = np.argpartition(-sc, kk - 1, axis=1)[:, :kk]
+            sc_top = np.take_along_axis(sc, part, axis=1)
+            idx_top = part + i
+            if best_s is None:
+                best_s, best_i = sc_top, idx_top
+            else:
+                cat_s = np.concatenate([best_s, sc_top], axis=1)
+                cat_i = np.concatenate([best_i, idx_top], axis=1)
+                keep = np.argpartition(-cat_s, k_gate - 1,
+                                       axis=1)[:, :k_gate]
+                best_s = np.take_along_axis(cat_s, keep, axis=1)
+                best_i = np.take_along_axis(cat_i, keep, axis=1)
+        exact = best_i
         _, got = ivf_search(self.ivf_index, jnp.asarray(q), k_gate,
                             nprobe=self.ivf_nprobe)
         got = np.asarray(got)
@@ -589,7 +615,12 @@ class RagEngine:
                 corpus_scales=self.corpus_scales,
                 corpus_mean=self.corpus_mean)
         idx = np.asarray(idx)  # single device→host transfer
-        return [list(map(int, idx[i, :k])) for i in range(len(queries))]
+        # IVF pads short candidate lists with -1 (fewer than k reachable
+        # docs at this nprobe); Python negative indexing would silently
+        # substitute documents[-1] into the context — drop the sentinels
+        # instead (review finding, round 4)
+        return [[int(j) for j in idx[i, :k] if j >= 0]
+                for i in range(len(queries))]
 
     # ------------------------------------------------------------------
     # stage 3: generate
@@ -820,11 +851,16 @@ class RagEngine:
             # not bsz * plen). Packing pays a per-token overhead (segment-
             # masked flash + the KV unpack-gather), so only engage when the
             # packed T bucket genuinely undercuts the padded program's token
-            # count; otherwise the padded trace is strictly better.
-            total = sum(min(len(r), self.packed_p) for r in rows[:n])
-            t = pick_bucket(self.packed_t_buckets, total)
-            if t <= PACKED_MARGIN * bsz * plen:
-                return self._stage_packed(rows, n, t)
+            # count; otherwise the padded trace is strictly better. Rows
+            # longer than packed_p (the per-row KV bucket) would be
+            # truncated harder than the padded path's plen bucket would
+            # truncate them — those batches MUST take the padded trace or
+            # the bit-identical guarantee breaks (review finding, round 4).
+            if max(len(r) for r in rows[:n]) <= self.packed_p:
+                total = sum(len(r) for r in rows[:n])
+                t = pick_bucket(self.packed_t_buckets, total)
+                if t <= PACKED_MARGIN * bsz * plen:
+                    return self._stage_packed(rows, n, t)
         # truncate_side="left": over-long prompts keep the tail (the question
         # and the answer cue), dropping leading context instead
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
@@ -1058,26 +1094,15 @@ class RagEngine:
 
     def _warm_packed(self, t: int, rng) -> None:
         """One packed-generate program at packed-length bucket t (B and P
-        are engine-static, so t alone keys the program)."""
+        are engine-static, so t alone keys the program). Delegates the
+        layout to _stage_packed so the warmed trace can never drift from
+        the serving trace (review finding, round 4)."""
         cap = self.batch_buckets[-1]
-        p = self.packed_p
-        stream = np.zeros((3, t), np.int32)
-        stream[0] = self.dec_tok.pad_id
-        stream[1] = cap
-        gather = np.full((cap, p), -1, np.int32)
-        last = np.full((cap,), -1, np.int32)
-        ln = max(1, min(p, t // cap))
-        off = 0
-        for b in range(cap):
-            if off + ln > t:
-                break
-            stream[1, off:off + ln] = b
-            stream[2, off:off + ln] = np.arange(ln)
-            gather[b, p - ln:] = off + np.arange(ln)
-            last[b] = off + ln - 1
-            off += ln
-        self._generate_packed_dispatch(
-            jnp.asarray(stream), jnp.asarray(gather), jnp.asarray(last), rng)
+        ln = max(1, min(self.packed_p, t // cap))
+        rows = [[self.dec_tok.pad_id] * ln
+                for _ in range(min(cap, t // ln))]
+        _, stream, gather, last, _ = self._stage_packed(rows, len(rows), t)
+        self._generate_packed_dispatch(stream, gather, last, rng)
 
     def _warm_generate(self, b: int, plen: int, rng) -> None:
         """One no-prefix generate program at (batch=b, prompt=plen)."""

@@ -74,6 +74,11 @@ def main():
     for label, p, aq, mnt, env in variants:
         for k, v in env.items():
             os.environ[k] = v
+        if env:
+            # env-var variants (RAG_DISABLE_FLASH) only take effect at
+            # TRACE time; an identical jit signature would silently reuse
+            # the cached flash executable (review finding, round 4)
+            jax.clear_caches()
         try:
             timed(label, lambda: generate(
                 p, cfg, ids, mask, rng, max_new_tokens=mnt, do_sample=True,

@@ -118,3 +118,53 @@ def test_engine_ivf_recall_gate_refuses_unclusterable(rng):
                  ivf_nprobe=1, ivf_recall_gate=0.9)
     with pytest.raises(ValueError, match="recall"):
         RagEngine(s, docs, corpus)
+
+
+def test_engine_ivf_sentinel_ids_filtered(rng):
+    """ivf_search pads short candidate lists with -1 (fewer than k reachable
+    docs at this nprobe); the engine must DROP the sentinels — Python
+    negative indexing would silently substitute documents[-1] into the RAG
+    context (review finding, round 4)."""
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    # tight clusters, nprobe=1, k > cluster size -> -1 padding is guaranteed
+    corpus = clustered_corpus(rng, n_clusters=8, per=4, d=64)
+    docs = [f"doc {i}" for i in range(corpus.shape[0])]
+    s = Settings(model_preset="tiny", batch_buckets=[2], max_batch_size=2,
+                 encode_len_buckets=[16], prompt_len_buckets=[64],
+                 max_new_tokens=2, retriever="ivf", ivf_clusters=8,
+                 ivf_nprobe=1, ivf_recall_gate=0.0, max_k=16,
+                 query_cache_size=0)
+    eng = RagEngine(s, docs, corpus)
+    rows = eng.embed_and_retrieve(["doc 3", "doc 7"], [16, 16])
+    for row in rows:
+        assert all(i >= 0 for i in row), row       # sentinels dropped
+        assert len(row) < 16                        # genuinely short, not padded
+        assert len(row) == len(set(row))            # no duplicate substitution
+    # end-to-end: a short context list still serves
+    out = eng.process(["doc 3"], [16])
+    assert len(out) == 1 and "result" in out[0]
+
+
+def test_engine_packed_t_step_rounds_to_256(rng):
+    """A PACKED_T_STEP that isn't a 256-multiple would silently disable the
+    packed flash kernel (T % 256 != 0 falls back to the O(T^2) reference
+    attention); the engine must round the step up (review finding, round 4)."""
+    import os
+    from rag_serving_system_tpu.config import Settings
+    from rag_serving_system_tpu.core.engine import RagEngine
+
+    corpus = rng.standard_normal((16, 64)).astype(np.float32)
+    docs = [f"doc {i}" for i in range(16)]
+    os.environ["PACKED_T_STEP"] = "1500"
+    try:
+        s = Settings(model_preset="tiny", batch_buckets=[2], max_batch_size=2,
+                     encode_len_buckets=[16], prompt_len_buckets=[64],
+                     max_new_tokens=2)
+        eng = RagEngine(s, docs, corpus)
+        if eng.packed:
+            assert all(t % 256 == 0 for t in eng.packed_t_buckets), \
+                eng.packed_t_buckets
+    finally:
+        del os.environ["PACKED_T_STEP"]

@@ -207,10 +207,18 @@ def test_engine_packed_margin_gate(corpus):
     assert staged[0] in ("packed", "padded")
 
 
-def test_engine_packed_overlong_prompt_truncates(corpus):
-    """Rows longer than the packed P bucket left-truncate (tail kept) —
-    same contract as the padded path's largest bucket."""
+def test_engine_packed_overlong_prompt_takes_padded_path(corpus):
+    """Rows longer than the packed P bucket must take the PADDED trace:
+    _stage_packed would truncate them to packed_p while the padded path's
+    larger plen buckets keep more tail — staging packed would silently
+    serve less context than the bit-identical guarantee promises
+    (review finding, round 4)."""
     eng = _engine(corpus, packed=True)
     long_q = "filler " * 400 + "what does document 5 say?"
+    prepared = eng.prepare([long_q], [2])
+    rows = eng._prompt_tokens_batch(list(prepared))
+    assert max(len(r) for r in rows) > eng.packed_p  # premise: truly overlong
+    staged = eng.stage_prompts(prepared)
+    assert staged[0] == "padded"
     out = eng.process([long_q], [2])
     assert len(out) == 1 and "result" in out[0]
