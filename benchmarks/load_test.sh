@@ -47,6 +47,13 @@ rps_ladder() { # emits 1 STEP 2*STEP ... MAX_RPS
 
 MAX_SUSTAINED[uniform]=0; MAX_SUSTAINED[random]=0
 STOPPED[uniform]=0; STOPPED[random]=0
+# PATTERNS narrows the run (e.g. PATTERNS=uniform re-runs one pattern after
+# a warmup gap without repeating the other's hours); default = reference's
+# interleaved pair
+PATTERNS="${PATTERNS:-uniform random}"
+for P in uniform random; do
+  case " $PATTERNS " in *" $P "*) ;; *) STOPPED[$P]=1 ;; esac
+done
 i=0
 # patterns run INTERLEAVED per RPS rung (reference load_test.sh:164-168):
 # uniform then random at each step, so both see the same thermal/cache state

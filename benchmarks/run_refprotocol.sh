@@ -29,7 +29,7 @@ MAX_BATCH_SIZE=32 BATCH_BUCKETS=8,32 \
 QUANT_WEIGHTS=int8 QUANT_ACT=int8 \
 PREFIX_CACHE_MB=6000 PREFIX_CACHE_DTYPE=int8 PREFIX_POOL_LEN=512 \
 PROMPT_LEN_BUCKETS=192,256,384,448,512,640,1024 ENCODE_LEN_BUCKETS=32,64 \
-WARMUP_FULL=1 PORT=$PORT \
+WARMUP_FULL=1 WARMUP_OVERFLOW_CAP=1024 PORT=$PORT \
 python main.py > "$SERVER_LOG" 2>&1 &
 SERVER_PID=$!
 echo $SERVER_PID > /tmp/refprotocol_server.pid
@@ -45,8 +45,9 @@ echo "[refprotocol] server healthy after warmup; starting ladder"
 
 START_TS=$(date +%s)
 export ENDPOINT="http://localhost:$PORT" STEP=5 DURATION=60 \
-  MAX_RPS="${MAX_RPS:-600}" P99_GATE=10 OUT_DIR CSV="$OUT_DIR/sweep.csv" \
-  QUERY_SAMPLE=random QUERIES_FILE=data/squad_real_queries.json
+  MAX_RPS="${MAX_RPS:-600}" P99_GATE=10 OUT_DIR CSV="${CSV:-$OUT_DIR/sweep.csv}" \
+  QUERY_SAMPLE=random QUERIES_FILE=data/squad_real_queries.json \
+  PATTERNS="${PATTERNS:-uniform random}"
 if [ "$WALL_CAP_S" != "0" ]; then
   timeout "$WALL_CAP_S" bash benchmarks/load_test.sh | tee "$OUT_DIR/ladder.log"
 else

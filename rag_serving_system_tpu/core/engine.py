@@ -1178,7 +1178,11 @@ class RagEngine:
         suffix, landing in prompt-size buckets — without this, the first such
         batch pays an XLA compile mid-serving. Default warms the full batch
         bucket only; pass batch_sizes (WARMUP_FULL) for the whole matrix."""
-        overflow_cap = 256 if batch_sizes else 192
+        # WARMUP_OVERFLOW_CAP raises coverage for long-tailed corpora: a
+        # p99-gated load sweep must not pay a first-touch compile mid-run
+        # (the refprotocol uniform ladder died to exactly that, round 4)
+        overflow_cap = int(os.environ.get(
+            "WARMUP_OVERFLOW_CAP", "256" if batch_sizes else "192"))
         suffixes = SUFFIX_LEN_BUCKETS + [
             s for s in self.settings.prompt_len_buckets if s <= overflow_cap]
         unwarmed = [s for s in self.settings.prompt_len_buckets
