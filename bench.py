@@ -259,6 +259,11 @@ def main() -> None:
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
                   + (f"_mnt{mnt}" if mnt != 10 else "")
+                  # continuous (in-flight) batching over the decode pool —
+                  # distinct key: the serving loop's completion semantics
+                  # differ (per-request delivery, no batch-drain wait)
+                  + ("_cont" if getattr(engine, "decode_pool", None)
+                     is not None else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
                   # packed prefill is the default; the padded-prefill A/B
                   # variant records under its own key

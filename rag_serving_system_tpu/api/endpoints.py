@@ -185,6 +185,9 @@ def create_api(request_queue, processor=None, engine=None,
             qstats = getattr(engine, "query_cache_stats", lambda: None)()
             if qstats is not None:
                 body["query_cache"] = qstats
+            pool = getattr(engine, "decode_pool", None)
+            if pool is not None:
+                body["decode_pool"] = pool.stats()
         front = getattr(request_queue, "_front", None)  # FrontQueue proxy
         if front is not None:
             body["native_front"] = front.stats()

@@ -76,6 +76,22 @@ class Settings:
     packed_t_step: int = field(
         default_factory=lambda: int(_env("PACKED_T_STEP", "1024")))
     max_new_tokens: int = field(default_factory=lambda: int(_env("MAX_NEW_TOKENS", "10")))
+    # decode scheduling: 'fixed' (one lax.while_loop per batch — a batch
+    # completes when its slowest row does) | 'continuous' (in-flight
+    # batching over a persistent slot pool, core/decode_pool.py: rows
+    # complete and free their slot individually, new requests join without
+    # waiting for a batch to drain — reclaims completion-length variance in
+    # decode-heavy regimes; single-device)
+    decode_mode: str = field(default_factory=lambda: _env("DECODE_MODE", "fixed"))
+    # slot-pool size (0 = auto: 2x the largest batch bucket)
+    decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "0")))
+    # decode steps per XLA dispatch in continuous mode (amortizes the host
+    # round trip; EOS frees slots at chunk granularity)
+    decode_chunk: int = field(default_factory=lambda: int(_env("DECODE_CHUNK", "8")))
+    # ring window per slot in tokens (0 = auto: largest prompt bucket +
+    # max_new_tokens, rounded up to 128); batches staging more KV than the
+    # window fall back to fixed decode
+    decode_window: int = field(default_factory=lambda: int(_env("DECODE_WINDOW", "0")))
     # sampling on by default (reference: batch_processor.py:105 do_sample=True);
     # greedy mode gives deterministic output for parity tests / debugging
     do_sample: bool = field(

@@ -183,7 +183,12 @@ class BatchProcessor(threading.Thread):
 
     def run(self) -> None:
         self.running = True
-        logger.info("BatchProcessor started (prefetch=%s).", self.prefetch)
+        pool = getattr(self.engine, "decode_pool", None)
+        if pool is not None and not pool._running:
+            pool.start()
+        logger.info("BatchProcessor started (prefetch=%s, decode=%s).",
+                    self.prefetch,
+                    "continuous" if pool is not None else "fixed")
         ready = self._ready
         if self.prefetch:
             for _ in range(self.prefetch_workers):
@@ -249,6 +254,27 @@ class BatchProcessor(threading.Thread):
         With `staged` (device-resident prompt tensors prepared by the
         prefetch thread), the dispatch here is latency-free host work."""
         request_ids = [req["id"] for req in batch]
+        pool = getattr(self.engine, "decode_pool", None)
+        if pool is not None:
+            # continuous mode: hand the prepared batch to the decode pool —
+            # results deliver PER REQUEST as each completes (no batch-drain
+            # wait); the pool's worker owns all further device dispatch
+            t0 = time.time()
+            remaining = {"n": len(request_ids)}
+
+            def deliver(rid, res):
+                try:
+                    self.request_queue.store_result(rid, res)
+                except Exception as e:
+                    logger.error("error storing result for %s: %s", rid, e)
+                self.requests_processed += 1
+                remaining["n"] -= 1
+                if remaining["n"] == 0:
+                    self.batches_processed += 1
+                    self.last_batch_seconds = time.time() - t0
+
+            pool.submit(request_ids, prompts, deliver, staged=staged)
+            return
         try:
             handle = self.engine.generate_tokens(prompts, staged=staged)
             if self.finalize_async:
@@ -328,6 +354,10 @@ class BatchProcessor(threading.Thread):
                 or self._ready.unfinished_tasks > 0
                 or self._finalize_q.unfinished_tasks > 0):
             time.sleep(0.02)
+        pool = getattr(self.engine, "decode_pool", None)
+        if pool is not None:
+            pool.stop(drain_timeout=max(0.0, deadline - time.time())
+                      if drain_timeout > 0 else 0.0)
         self.running = False
         # dispatched-but-unfinalized batches always get delivered (the
         # finalize worker only exits on run()'s post-loop sentinel); give

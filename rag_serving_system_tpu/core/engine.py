@@ -54,7 +54,9 @@ from rag_serving_system_tpu.core.prefix_cache import (
 )
 from rag_serving_system_tpu.models.e5 import encode
 from rag_serving_system_tpu.models.qwen2 import (compute_prefix_kv, generate,
-                                                 generate_packed)
+                                                 generate_packed,
+                                                 prefill_for_pool,
+                                                 prefill_packed_for_pool)
 from rag_serving_system_tpu.models.tokenizer import (
     get_tokenizer,
     HashTokenizer,
@@ -142,6 +144,23 @@ def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dty
     if use_pallas:
         return cosine_topk_pallas(corpus, emb, k)
     return cosine_topk_reference(corpus, emb, k)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "cfg", "max_seg_len", "do_sample", "dtype", "act_quant"))
+def _packed_prefill_pool(params, cfg, stream, gather, last, rng,
+                         max_seg_len, do_sample, dtype, act_quant):
+    """Packed-prefill for the continuous decode pool: same compact host
+    encoding as `_packed_unpack_and_generate`, but returns (tok0, k, v,
+    prompt_mask) for slot insertion instead of running the fixed decode."""
+    ids, seg, pos = stream[0][None], stream[1][None], stream[2][None]
+    prompt_mask = (gather >= 0).astype(jnp.int32)
+    row_valid = last >= 0
+    return prefill_packed_for_pool(
+        params, cfg, ids, seg, pos, jnp.maximum(last, 0),
+        jnp.maximum(gather, 0), prompt_mask, rng, max_seg_len=max_seg_len,
+        do_sample=do_sample, dtype=dtype, row_valid=row_valid,
+        act_quant=act_quant)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -422,6 +441,36 @@ class RagEngine:
                         "%.1f MB/entry, capacity %d entries",
                         pool_len, "int8" if self.prefix_int8 else "compute",
                         entry_bytes / 2**20, self.prefix_cache.capacity)
+
+        # continuous (in-flight) batching: DECODE_MODE=continuous replaces
+        # the fixed-scan decode with a persistent slot pool (decode_pool.py)
+        # — per-request completion, no completion-length variance tax.
+        # Single-device (the pool ring is unsharded); batches whose prompt
+        # bucket + max_new_tokens overflow the window fall back to the fixed
+        # path inside the pool worker.
+        self.decode_pool = None
+        mode = settings.decode_mode
+        if mode == "continuous" and n_dev > 1:
+            logger.warning("DECODE_MODE=continuous is single-device only; "
+                           "the mesh path serves the fixed decode instead")
+            mode = "fixed"
+        if mode == "continuous":
+            from rag_serving_system_tpu.core.decode_pool import DecodePool
+
+            cap = self.batch_buckets[-1]
+            slots = settings.decode_slots or 2 * cap
+            if slots < cap:
+                logger.warning("DECODE_SLOTS=%d < largest batch bucket %d; "
+                               "raising (a full bucket must fit the pool)",
+                               slots, cap)
+                slots = cap
+            window = settings.decode_window
+            if window == 0:
+                window = -(-(max(settings.prompt_len_buckets)
+                             + settings.max_new_tokens) // 128) * 128
+            self.decode_pool = DecodePool(
+                self, slots=slots, window=window,
+                chunk=max(1, settings.decode_chunk))
 
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)
@@ -899,6 +948,32 @@ class RagEngine:
                         prefix_kv=prefix_kv, prefix_len=prefix_len)
         return toks, n
 
+    def prefill_rows(self, staged, rng):
+        """Prefill a staged batch for the continuous decode pool: returns
+        (tok0 (B,), k (L, B, T, Hk, D), v, mask (B, T), n) — the prompt KV
+        rows, combined validity mask (prefix part included when the
+        prefix-KV cache contributed), the first sampled token per row, and
+        the real-row count. Shares every staging/prefix/packed trick with
+        the fixed path (`generate_tokens`); only the decode differs."""
+        s = self.settings
+        if staged[0] == "packed":
+            _, stream, gather, last, n = staged
+            tok0, k, v, mask = _packed_prefill_pool(
+                self.dec_params, self.dec_cfg, stream, gather, last, rng,
+                self.packed_p, s.do_sample, self.dtype, self.act_quant)
+            return tok0, k, v, mask, n
+        _, ids, mask, row_valid, n, metas = staged
+        prefix_kv = prefix_len = None
+        if metas is not None and any(m is not None for m in metas):
+            with self.timer.stage("prefix_resolve"):
+                prefix_kv, prefix_len = self._resolve_prefixes(metas)
+        tok0, k, v, cmask = prefill_for_pool(
+            self.dec_params, self.dec_cfg, ids, mask, rng,
+            do_sample=s.do_sample, dtype=self.dtype, row_valid=row_valid,
+            act_quant=self.act_quant, prefix_kv=prefix_kv,
+            prefix_len=prefix_len)
+        return tok0, k, v, cmask, n
+
     def _resolve_prefixes(self, metas):
         """Map per-row (key, prefix tokens) to pool slots: cache hits are
         reused; the batch's distinct misses are computed in ONE batched
@@ -1074,11 +1149,37 @@ class RagEngine:
                 self.prefix_cache.warm_compiles,
                 gather_counts=self.batch_buckets,
                 scatter_counts=self.prefix_compute_buckets)))
+        if self.decode_pool is not None:
+            # continuous-mode prefill programs (prefill_for_pool & friends)
+            # are DISTINCT XLA programs from the fixed generate matrix —
+            # cover the same (batch, length) shapes so no pool batch ever
+            # compiles mid-serving. Pure forwards: safe to run concurrently.
+            jobs.extend(self._pool_prefill_jobs(sizes, cap))
         self._run_warmup_jobs(jobs)
+        if self.decode_pool is not None:
+            # insert + decode-chunk programs mutate (donate) the pool state
+            # — compiled SERIALLY after the concurrent pass, with inactive
+            # rows so the live pool state stays semantically empty
+            self._warm_pool_state(sizes, cap)
         # end-to-end sanity batches — every program they need was compiled
         # above, so these run at serving speed
         for b in sizes:
             self.process(["warmup query"] * b, [1] * b)
+        if self.decode_pool is not None:
+            # one end-to-end batch THROUGH the pool (stage → prefill →
+            # insert → chunks → deliver), mirroring the fixed-path sanity
+            pool = self.decode_pool
+            bcap = self.batch_buckets[-1]
+            if not pool._running:
+                pool.start()
+            got: list = []
+            pool.submit([f"w{i}" for i in range(bcap)],
+                        ["pool warmup query"] * bcap,
+                        lambda rid, res: got.append(rid))
+            if not pool.wait_idle(300.0) or len(got) != bcap:
+                raise RuntimeError(
+                    f"decode-pool warmup batch incomplete "
+                    f"({len(got)}/{bcap} delivered)")
         if self.prefix_cache is not None:
             # a long question lands in the bigger suffix bucket — exercise it
             long_q = "warmup " + " ".join(f"word{i}" for i in range(45))
@@ -1203,6 +1304,95 @@ class RagEngine:
                              functools.partial(self._warm_prefix_suffix, b,
                                                s_len, rng)))
         return jobs
+
+    def _pool_prefill_jobs(self, batch_sizes, prompt_cap: int) -> list:
+        """Warmup jobs for the continuous-mode prefill programs: the pool's
+        (b, len) matrix mirrors the fixed path's — cold prompt buckets,
+        prefix-suffix buckets, and packed T buckets — but each is a distinct
+        XLA program (prefill_for_pool returns KV rows instead of decoding).
+        Pure forwards with no pool-state mutation: concurrency-safe."""
+        jobs = []
+        for b in batch_sizes:
+            for plen in self.settings.prompt_len_buckets:
+                if plen > prompt_cap:
+                    continue
+                self._rng, rng = jax.random.split(self._rng)
+                jobs.append((f"pool-prefill b{b} p{plen}", functools.partial(
+                    self._warm_pool_prefill, b, plen, rng, False)))
+        if self.prefix_cache is not None:
+            overflow_cap = int(os.environ.get(
+                "WARMUP_OVERFLOW_CAP", "256" if batch_sizes else "192"))
+            suffixes = SUFFIX_LEN_BUCKETS + [
+                s for s in self.settings.prompt_len_buckets
+                if s <= overflow_cap]
+            for b in batch_sizes:
+                for s_len in suffixes:
+                    self._rng, rng = jax.random.split(self._rng)
+                    jobs.append((f"pool-prefill b{b} s{s_len} +prefix",
+                                 functools.partial(self._warm_pool_prefill,
+                                                   b, s_len, rng, True)))
+        if self.packed:
+            for t in self.packed_t_buckets:
+                self._rng, rng = jax.random.split(self._rng)
+                jobs.append((f"pool-packed t{t}", functools.partial(
+                    self._warm_pool_packed, t, rng)))
+        return jobs
+
+    def _warm_pool_prefill(self, b: int, plen: int, rng,
+                           with_prefix: bool) -> None:
+        ids = jnp.zeros((b, plen), jnp.int32)
+        mask = jnp.zeros((b, plen), jnp.int32).at[:, -1].set(1)
+        prefix_kv = prefix_len = None
+        if with_prefix:
+            prefix_kv = self.prefix_cache.gather(
+                [self.prefix_cache.zero_slot] * b)
+            prefix_len = jnp.zeros((b,), jnp.int32)
+        prefill_for_pool(self.dec_params, self.dec_cfg, ids, mask, rng,
+                         do_sample=self.settings.do_sample, dtype=self.dtype,
+                         row_valid=jnp.ones((b,), bool),
+                         act_quant=self.act_quant,
+                         prefix_kv=prefix_kv, prefix_len=prefix_len)
+
+    def _warm_pool_packed(self, t: int, rng) -> None:
+        cap = self.batch_buckets[-1]
+        ln = max(1, min(self.packed_p, t // cap))
+        rows = [[self.dec_tok.pad_id] * ln for _ in range(min(cap, t // ln))]
+        _, stream, gather, last, _ = self._stage_packed(rows, len(rows), t)
+        _packed_prefill_pool(self.dec_params, self.dec_cfg, stream, gather,
+                             last, rng, self.packed_p,
+                             self.settings.do_sample, self.dtype,
+                             self.act_quant)
+
+    def _warm_pool_state(self, batch_sizes, prompt_cap: int) -> None:
+        """Serially compile the pool's insert program per reachable (b, T)
+        KV-row shape and the (single-shape) decode_chunk program. Warm rows
+        are all-invalid (row_valid False), so the pool stays semantically
+        empty — only the ring cursor advances, which is position-free."""
+        pool = self.decode_pool
+        mnt = self.settings.max_new_tokens
+        shapes = {(b, plen) for b in batch_sizes
+                  for plen in self.settings.prompt_len_buckets
+                  if plen <= prompt_cap}
+        if self.prefix_cache is not None:
+            overflow_cap = int(os.environ.get("WARMUP_OVERFLOW_CAP", "256"))
+            pl = self.prefix_cache.pool_len
+            shapes |= {(b, pl + s) for b in batch_sizes
+                       for s in SUFFIX_LEN_BUCKETS +
+                       [x for x in self.settings.prompt_len_buckets
+                        if x <= overflow_cap]}
+        if self.packed:
+            shapes.add((self.batch_buckets[-1], self.packed_p))
+        c = self.dec_cfg
+        for b, t in sorted(shapes):
+            if t + mnt > pool.window:
+                continue   # such batches fall back to fixed decode
+            pool.warm_insert(
+                jnp.zeros((c.num_layers, b, t, c.num_kv_heads, c.head_dim),
+                          self.dtype),
+                jnp.zeros((b, t), jnp.int32))
+        pool.warm_chunk()
+        logger.info("decode-pool state programs warmed: %d insert shapes + "
+                    "decode_chunk", len(shapes))
 
     def _warm_prefix_suffix(self, b: int, s_len: int, rng) -> None:
         # gather the permanent zeros slot — same shapes/dtypes/layouts

@@ -401,6 +401,27 @@ def sample_token(
     return jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
 
 
+def eos_id_set(cfg: DecoderConfig) -> tuple:
+    """All stop ids for the model (instruct models often declare several —
+    Qwen2.5: <|im_end|> AND <|endoftext|>); deduped, order-stable."""
+    return tuple(dict.fromkeys(
+        (cfg.eos_token_id,) + tuple(getattr(cfg, "eos_token_ids", ()))))
+
+
+def token_is_eos(tok: jax.Array, eos_ids: tuple) -> jax.Array:
+    hit = tok == eos_ids[0]
+    for e in eos_ids[1:]:
+        hit = hit | (tok == e)
+    return hit
+
+
+def pick_token(logits, rng, do_sample, temperature=0.7, top_k=20, top_p=0.8):
+    """Shared next-token choice: Qwen2.5 default sampling or greedy."""
+    if do_sample:
+        return sample_token(logits, rng, temperature, top_k, top_p)
+    return jnp.argmax(logits, axis=-1)
+
+
 def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                  max_new_tokens, temperature, top_k, top_p, do_sample,
                  dtype, row_valid, p):
@@ -411,18 +432,12 @@ def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
     b = attention_mask.shape[0]
 
     def pick(logits, rng):
-        if do_sample:
-            return sample_token(logits, rng, temperature, top_k, top_p)
-        return jnp.argmax(logits, axis=-1)
+        return pick_token(logits, rng, do_sample, temperature, top_k, top_p)
 
-    eos_ids = tuple(dict.fromkeys(
-        (cfg.eos_token_id,) + tuple(getattr(cfg, "eos_token_ids", ()))))
+    eos_ids = eos_id_set(cfg)
 
     def is_eos(tok):
-        hit = tok == eos_ids[0]
-        for e in eos_ids[1:]:
-            hit = hit | (tok == e)
-        return hit
+        return token_is_eos(tok, eos_ids)
 
     rng, rng0 = jax.random.split(rng)
     tok0 = pick(logits0, rng0).astype(jnp.int32)
@@ -560,6 +575,196 @@ def generate_packed(
     return _decode_loop(params, cfg, logits0, cache, prompt_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
                         dtype, row_valid, p)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "temperature", "top_k", "top_p", "do_sample",
+                     "dtype", "act_quant"),
+)
+def prefill_for_pool(
+    params: dict,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,       # (B, P) int32 LEFT-padded (suffix if prefix_kv)
+    attention_mask: jax.Array,  # (B, P)
+    rng: jax.Array,
+    temperature: float = 0.7,
+    top_k: int = 20,
+    top_p: float = 0.8,
+    do_sample: bool = True,
+    dtype=jnp.bfloat16,
+    row_valid: jax.Array | None = None,
+    act_quant: bool = False,
+    prefix_kv=None,
+    prefix_len: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Prefill + first-token sample for the continuous decode pool
+    (core/decode_pool.py): the same prefill `generate` runs, but instead of
+    entering the fixed while_loop the prompt KV and first sampled token are
+    returned for insertion into a persistent slot pool, where decoding
+    continues one token per *pool* step alongside unrelated requests.
+
+    Returns (tok0 (B,), k (L, B, T, Hk, D), v, combined_mask (B, T)) with
+    T = [prefix pool len +] P — exactly the prompt KV, no decode padding.
+    Pad rows (row_valid False) get tok0 = pad_token_id."""
+    logits0, cache = prefill(params, cfg, input_ids, attention_mask,
+                             max_new_tokens=0, dtype=dtype,
+                             act_quant=act_quant,
+                             prefix_kv=prefix_kv, prefix_len=prefix_len)
+    tok0 = pick_token(logits0, rng, do_sample, temperature, top_k,
+                      top_p).astype(jnp.int32)
+    if row_valid is not None:
+        tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
+    if prefix_kv is not None:
+        pl_ = (prefix_kv[0] if isinstance(prefix_kv, (tuple, list))
+               else prefix_kv).shape[3]
+        pref_mask = (jnp.arange(pl_)[None, :] < prefix_len[:, None]).astype(
+            attention_mask.dtype)
+        attention_mask = jnp.concatenate([pref_mask, attention_mask], axis=1)
+    return tok0, cache.k, cache.v, attention_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_seg_len", "temperature", "top_k", "top_p",
+                     "do_sample", "dtype", "act_quant"),
+)
+def prefill_packed_for_pool(
+    params: dict,
+    cfg: DecoderConfig,
+    input_ids: jax.Array,     # (1, T) packed stream
+    seg: jax.Array,
+    positions: jax.Array,
+    last_idx: jax.Array,      # (B,)
+    gather_idx: jax.Array,    # (B, P)
+    prompt_mask: jax.Array,   # (B, P)
+    rng: jax.Array,
+    max_seg_len: int = 512,
+    temperature: float = 0.7,
+    top_k: int = 20,
+    top_p: float = 0.8,
+    do_sample: bool = True,
+    dtype=jnp.bfloat16,
+    row_valid: jax.Array | None = None,
+    act_quant: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Packed-prefill variant of `prefill_for_pool`: the cold-path packed
+    stream prefills, unpacks into per-row KV, and hands rows to the pool.
+    Returns (tok0 (B,), k (L, B, P, Hk, D), v, prompt_mask)."""
+    logits0, cache = prefill_packed(
+        params, cfg, input_ids, seg, positions, last_idx, gather_idx,
+        prompt_mask, max_new_tokens=0, max_seg_len=max_seg_len, dtype=dtype,
+        act_quant=act_quant)
+    tok0 = pick_token(logits0, rng, do_sample, temperature, top_k,
+                      top_p).astype(jnp.int32)
+    if row_valid is not None:
+        tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
+    return tok0, cache.k, cache.v, prompt_mask
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "temperature", "top_k", "top_p",
+                     "do_sample", "dtype"),
+    donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9),
+)
+def decode_chunk(
+    params: dict,
+    cfg: DecoderConfig,
+    pool_k: jax.Array,      # (L, S, W, Hk, D) ring KV pool (donated)
+    pool_v: jax.Array,
+    valid: jax.Array,       # (S, W) bool — attendable columns per slot
+    last_tok: jax.Array,    # (S,) int32 — token each slot processes next
+    next_pos: jax.Array,    # (S,) int32 — its RoPE position
+    active: jax.Array,      # (S,) bool
+    remaining: jax.Array,   # (S,) int32 — tokens each slot may still emit
+    cursor: jax.Array,      # () int32 — global ring write column
+    rng: jax.Array,
+    chunk: int = 8,
+    temperature: float = 0.7,
+    top_k: int = 20,
+    top_p: float = 0.8,
+    do_sample: bool = True,
+    dtype=jnp.bfloat16,
+):
+    """`chunk` continuous-batching decode steps over the slot pool — the
+    TPU-shaped core of in-flight batching (vLLM's role, reimagined for XLA's
+    static shapes; same orchestration shape as JetStream):
+
+    - The pool is a RING over the W axis with ONE global cursor: every step,
+      every active slot writes its new token's KV at column `cursor`, so the
+      cache write stays a scalar-index `dynamic_update_slice` (no per-row
+      scatter). RoPE positions are baked into K at write time and attention
+      masks by the per-slot `valid` bitmap, so a slot's tokens may live at
+      ARBITRARY ring columns — softmax is permutation-invariant over keys.
+    - Inserts (decode_pool.py) place a prefilled prompt right-aligned at the
+      cursor; an active slot then emits exactly one token per pool step, so
+      a slot inserted with T prompt columns is overwritten-safe for W - T
+      steps — the pool guarantees T + max_new_tokens <= W.
+    - `chunk` steps run as one lax.scan per dispatch: one XLA program, one
+      host round-trip per `chunk` tokens (the axon tunnel costs ~26 ms per
+      sync — per-token dispatch would drown decode in latency).
+    - EOS/budget exhaustion flips `active` ON DEVICE mid-chunk, so finished
+      slots stop sampling immediately; the host notices when it consumes the
+      chunk's (chunk, S) token block and recycles the slot.
+
+    Returns (pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
+    cursor, toks (chunk, S) int32). Inactive slots emit pad_token_id."""
+    s_slots, w = valid.shape
+    n_layers = pool_k.shape[0]
+    inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
+    eos_ids = eos_id_set(cfg)
+    step_rngs = jax.random.split(rng, chunk)
+
+    def step(carry, step_rng):
+        pool_k, pool_v, valid, last_tok, next_pos, active, remaining, cursor = carry
+        # the column being written is attendable iff its row is active
+        valid = jax.lax.dynamic_update_slice(
+            valid, active[:, None], (0, cursor))
+        bias = jnp.where(valid, 0.0, NEG_INF)[:, None, None, :].astype(
+            jnp.float32)
+        x = embed_lookup(params, last_tok[:, None], dtype)   # (S, 1, H)
+        positions = next_pos[:, None]
+
+        def body(carry, xs_l):
+            x, K, V = carry
+            layer, li = xs_l
+            h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+            q, k, v = _qkv(layer, cfg, h, s_slots, 1)
+            q = apply_rope(q, positions, inv_freq)
+            k = apply_rope(k, positions, inv_freq)
+            K = jax.lax.dynamic_update_slice(
+                K, k[None].astype(K.dtype), (li, 0, cursor, 0, 0))
+            V = jax.lax.dynamic_update_slice(
+                V, v[None].astype(V.dtype), (li, 0, cursor, 0, 0))
+            ck = jax.lax.dynamic_slice_in_dim(K, li, 1, 0)[0]
+            cv = jax.lax.dynamic_slice_in_dim(V, li, 1, 0)[0]
+            a = attention(q, ck.astype(dtype), cv.astype(dtype), bias)
+            a = a.reshape(s_slots, 1, cfg.num_heads * cfg.head_dim)
+            x = x + dense(a, layer["o_w"])
+            h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+            x = x + _mlp(layer, h)
+            return (x, K, V), None
+
+        (x, pool_k, pool_v), _ = jax.lax.scan(
+            body, (x, pool_k, pool_v),
+            (params["layers"], jnp.arange(n_layers)))
+        logits = logits_from_hidden(params, cfg, x[:, 0, :])
+        tok = pick_token(logits, step_rng, do_sample, temperature, top_k,
+                         top_p).astype(jnp.int32)
+        tok = jnp.where(active, tok, jnp.int32(cfg.pad_token_id))
+        next_pos = next_pos + active.astype(jnp.int32)
+        remaining = remaining - active.astype(jnp.int32)
+        active = active & ~token_is_eos(tok, eos_ids) & (remaining > 0)
+        last_tok = jnp.where(active, tok, last_tok)
+        cursor = jnp.mod(cursor + 1, w)
+        return ((pool_k, pool_v, valid, last_tok, next_pos, active,
+                 remaining, cursor), tok)
+
+    init = (pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
+            cursor)
+    carry, toks = jax.lax.scan(step, init, step_rngs)
+    return (*carry, toks)
 
 
 @functools.partial(
