@@ -81,7 +81,7 @@ class Settings:
     # batching over a persistent slot pool, core/decode_pool.py: rows
     # complete and free their slot individually, new requests join without
     # waiting for a batch to drain — reclaims completion-length variance in
-    # decode-heavy regimes; single-device)
+    # decode-heavy regimes; under a mesh the slot axis dp-shards over "data")
     decode_mode: str = field(default_factory=lambda: _env("DECODE_MODE", "fixed"))
     # slot-pool size (0 = auto: 2x the largest batch bucket)
     decode_slots: int = field(default_factory=lambda: int(_env("DECODE_SLOTS", "0")))

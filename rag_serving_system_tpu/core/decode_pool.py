@@ -107,7 +107,8 @@ class DecodePool:
     returns immediately; results are delivered per-request via the callback
     as each completes (better tail latency than batch-granular delivery)."""
 
-    def __init__(self, engine, slots: int, window: int, chunk: int):
+    def __init__(self, engine, slots: int, window: int, chunk: int,
+                 mesh=None):
         cfg = engine.dec_cfg
         self.engine = engine
         self.cfg = cfg
@@ -123,13 +124,40 @@ class DecodePool:
         kv_dtype = engine.dtype
         shape = (cfg.num_layers, slots, window, cfg.num_kv_heads,
                  cfg.head_dim)
-        self.pool_k = jnp.zeros(shape, kv_dtype)
-        self.pool_v = jnp.zeros(shape, kv_dtype)
-        self.valid = jnp.zeros((slots, window), bool)
-        self.last_tok = jnp.full((slots,), cfg.pad_token_id, jnp.int32)
-        self.next_pos = jnp.zeros((slots,), jnp.int32)
-        self.active = jnp.zeros((slots,), bool)
-        self.remaining = jnp.zeros((slots,), jnp.int32)
+
+        # under a mesh the pool shards over the "data" axis on SLOTS —
+        # decode is slot-local (attention reads only the slot's own ring
+        # row), so the chunk program needs no cross-shard collectives for
+        # the cache itself; GSPMD handles the tp-sharded weight matmuls
+        # exactly as in the fixed path. Host bookkeeping is unchanged: the
+        # (chunk, S) token block gathers on consumption.
+        def _mk(value_fn, spec_axes):
+            arr = value_fn()
+            if mesh is None or mesh.devices.size == 1:
+                return arr
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            return jax.device_put(arr, NamedSharding(mesh, P(*spec_axes)))
+
+        dp = 1 if mesh is None else mesh.shape.get("data", 1)
+        if dp > 1 and slots % dp != 0:
+            raise ValueError(
+                f"DECODE_SLOTS={slots} must divide the mesh data axis {dp}")
+        slot_ax = "data" if dp > 1 else None
+        self.pool_k = _mk(lambda: jnp.zeros(shape, kv_dtype),
+                          (None, slot_ax, None, None, None))
+        self.pool_v = _mk(lambda: jnp.zeros(shape, kv_dtype),
+                          (None, slot_ax, None, None, None))
+        self.valid = _mk(lambda: jnp.zeros((slots, window), bool),
+                         (slot_ax, None))
+        self.last_tok = _mk(
+            lambda: jnp.full((slots,), cfg.pad_token_id, jnp.int32),
+            (slot_ax,))
+        self.next_pos = _mk(lambda: jnp.zeros((slots,), jnp.int32),
+                            (slot_ax,))
+        self.active = _mk(lambda: jnp.zeros((slots,), bool), (slot_ax,))
+        self.remaining = _mk(lambda: jnp.zeros((slots,), jnp.int32),
+                             (slot_ax,))
         self.cursor = jnp.int32(0)
         self._rng = jax.random.PRNGKey(
             int(engine.settings.max_new_tokens) * 7919 + slots)
@@ -415,3 +443,22 @@ class DecodePool:
                 pass
         self._tok0_pending.clear()
         self._chunk_pending.clear()
+        # staged-but-not-inserted and still-queued submissions must fail
+        # too, or their clients hang until the request-poll TTL
+        pending, self._pending_inserts = self._pending_inserts, []
+        for request_ids, _staged, deliver, _t0 in pending:
+            for rid in request_ids:
+                try:
+                    deliver(rid, {"error": msg, "status": "failed"})
+                except Exception:
+                    pass
+        while not self._submit_q.empty():
+            try:
+                request_ids, _p, _s, deliver, _t0 = self._submit_q.get_nowait()
+            except queue.Empty:
+                break
+            for rid in request_ids:
+                try:
+                    deliver(rid, {"error": msg, "status": "failed"})
+                except Exception:
+                    pass

@@ -445,16 +445,12 @@ class RagEngine:
         # continuous (in-flight) batching: DECODE_MODE=continuous replaces
         # the fixed-scan decode with a persistent slot pool (decode_pool.py)
         # — per-request completion, no completion-length variance tax.
-        # Single-device (the pool ring is unsharded); batches whose prompt
-        # bucket + max_new_tokens overflow the window fall back to the fixed
-        # path inside the pool worker.
+        # Under a mesh the pool shards its SLOT axis over "data" (decode is
+        # slot-local; GSPMD handles tp weight matmuls as in the fixed path).
+        # Batches whose prompt bucket + max_new_tokens overflow the window
+        # fall back to the fixed path inside the pool worker.
         self.decode_pool = None
-        mode = settings.decode_mode
-        if mode == "continuous" and n_dev > 1:
-            logger.warning("DECODE_MODE=continuous is single-device only; "
-                           "the mesh path serves the fixed decode instead")
-            mode = "fixed"
-        if mode == "continuous":
+        if settings.decode_mode == "continuous":
             from rag_serving_system_tpu.core.decode_pool import DecodePool
 
             cap = self.batch_buckets[-1]
@@ -464,13 +460,16 @@ class RagEngine:
                                "raising (a full bucket must fit the pool)",
                                slots, cap)
                 slots = cap
+            dp = 1 if mesh is None else mesh.shape.get("data", 1)
+            if slots % dp != 0:   # pad up so the slot axis dp-shards evenly
+                slots = -(-slots // dp) * dp
             window = settings.decode_window
             if window == 0:
                 window = -(-(max(settings.prompt_len_buckets)
                              + settings.max_new_tokens) // 128) * 128
             self.decode_pool = DecodePool(
                 self, slots=slots, window=window,
-                chunk=max(1, settings.decode_chunk))
+                chunk=max(1, settings.decode_chunk), mesh=mesh)
 
     # ------------------------------------------------------------------
     # stage 1+2: embed + retrieve (device-fused; indices only to host)

@@ -280,6 +280,28 @@ def test_pool_packed_staging_matches_fixed(corpus):
     eng_c.decode_pool.stop()
 
 
+def test_pool_sharded_over_mesh_matches_fixed(corpus):
+    """Continuous mode under a dp×tp mesh: the pool's slot axis shards over
+    "data"; greedy answers must match the single-device fixed path."""
+    from rag_serving_system_tpu.parallel.mesh import make_mesh
+
+    docs, emb = corpus
+    assert len(jax.devices()) == 8
+    s = Settings(model_preset="tiny", dtype="float32", batch_buckets=[4],
+                 max_batch_size=4, encode_len_buckets=[16],
+                 prompt_len_buckets=[64, 128], max_new_tokens=4,
+                 do_sample=False, prefix_cache=False, packed_prefill=False,
+                 decode_mode="continuous", decode_slots=8,
+                 query_cache_size=0, mesh_shape="4,2")
+    eng_c = RagEngine(s, docs, emb, mesh=make_mesh("4,2"))
+    assert eng_c.decode_pool is not None
+    eng_f = _engine(corpus, "fixed")
+    got = _run_pool(eng_c, QS, [2] * 4, timeout=240.0)
+    want = eng_f.process(QS, [2] * 4)
+    assert got == want, (got, want)
+    eng_c.decode_pool.stop()
+
+
 def test_pool_through_batch_processor(corpus):
     """BatchProcessor routes stage-2 to the pool in continuous mode; results
     land in the request queue per request."""
