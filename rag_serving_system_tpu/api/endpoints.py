@@ -62,7 +62,8 @@ def create_api(request_queue, processor=None, engine=None,
             rejected_total_c.inc()
             return web.json_response(
                 {"detail": "queue full", "status": "rejected"}, status=503)
-        request_id = request_queue.add_request(payload.query, payload.k)
+        request_id = request_queue.add_request(payload.query, payload.k,
+                                               payload.max_new_tokens)
         requests_total_c.inc()
         # synchronous extension: POST /rag?wait=SECONDS holds the connection
         # and returns the COMPLETED result in this same exchange (one HTTP

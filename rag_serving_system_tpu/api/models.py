@@ -8,6 +8,9 @@ class QueryRequest(BaseModel):
     # k is clamped server-side to the engine's compiled max_k; validation here
     # rejects nonsense before it reaches the queue
     k: int = Field(default=2, ge=1, le=1024)
+    # optional per-request generation budget; clamped server-side to the
+    # engine's MAX_NEW_TOKENS cap (the compiled decode length). None = cap.
+    max_new_tokens: int | None = Field(default=None, ge=1, le=1024)
 
 
 class QueryResponse(BaseModel):

@@ -32,7 +32,7 @@ import threading
 logger = logging.getLogger(__name__)
 
 _DRAIN_BUF_BYTES = 1 << 20
-_REC_HEADER = struct.Struct("<HII")  # id_len, k, query_len
+_REC_HEADER = struct.Struct("<HIII")  # id_len, k, max_new_tokens(0=dflt), query_len
 
 
 class NativeFront:
@@ -95,7 +95,7 @@ class NativeFront:
             off = 0
             raw = ctypes.string_at(buf, n)  # copy only the filled bytes
             while off < n:
-                id_len, k, q_len = _REC_HEADER.unpack_from(raw, off)
+                id_len, k, mnt, q_len = _REC_HEADER.unpack_from(raw, off)
                 off += _REC_HEADER.size
                 rid = raw[off:off + id_len].decode("ascii")
                 off += id_len
@@ -110,7 +110,7 @@ class NativeFront:
                 # NATIVE_FRONT_MAX_INFLIGHT set, repeated enqueue failures
                 # would leak capacity toward permanent 503s)
                 try:
-                    put(rid, query, k)
+                    put(rid, query, k, mnt if mnt > 0 else None)
                 except Exception:  # noqa: BLE001
                     logger.exception("native front enqueue failed for %s", rid)
                     try:

@@ -122,7 +122,8 @@ class BatchProcessor(threading.Thread):
                         batch += self.request_queue.get_batch()
                     queries = [req["query"] for req in batch]
                     ks = [req.get("k", 2) for req in batch]
-                    prompts = self.engine.prepare(queries, ks)
+                    budgets = [req.get("max_new_tokens") for req in batch]
+                    prompts = self.engine.prepare(queries, ks, budgets)
                     stage = (getattr(self.engine, "stage_prompts", None)
                              if self.stage_on_prefetch else None)
                     if len(batch) > cap:
@@ -329,7 +330,8 @@ class BatchProcessor(threading.Thread):
         try:
             queries = [req["query"] for req in batch]
             ks = [req.get("k", 2) for req in batch]
-            results = self.engine.process(queries, ks)
+            budgets = [req.get("max_new_tokens") for req in batch]
+            results = self.engine.process(queries, ks, budgets)
             for rid, res in zip(request_ids, results):
                 try:
                     self.request_queue.store_result(rid, res)

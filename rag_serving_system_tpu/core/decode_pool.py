@@ -53,17 +53,22 @@ logger = logging.getLogger(__name__)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("eos_ids", "max_new_tokens"),
+    static_argnames=("eos_ids",),
     donate_argnums=(0, 1, 2, 3, 4, 5, 6),
 )
 def _insert_rows(pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
                  rows_k, rows_v, mask, tok0, slot_ids, cursor, row_valid,
-                 eos_ids, max_new_tokens):
+                 budgets, eos_ids):
     """Scatter B prefilled rows into the pool at `slot_ids`, right-aligned at
     the ring cursor: padded prompt position j (of T) lands at ring column
     (cursor - T + j) mod W, i.e. the slot's next decode write (at `cursor`)
     continues its sequence. One whole-(W,) row write per slot — a slot is
-    rewritten wholesale on reuse, so no stale state can leak."""
+    rewritten wholesale on reuse, so no stale state can leak.
+
+    `budgets` ((B,) int32) is each row's OWN generation budget (per-request
+    max_new_tokens): `remaining` counts down from it, so slots inserted in
+    the same batch can free at different steps — continuous batching's
+    per-request granularity extends to the budget dimension."""
     w = valid.shape[1]
     t = rows_k.shape[2]
     shift = jnp.mod(cursor - t, w)
@@ -78,25 +83,26 @@ def _insert_rows(pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
     vrow = vrow & row_valid[:, None]
     valid = valid.at[slot_ids].set(vrow)
     n_real = jnp.sum(mask.astype(jnp.int32), axis=-1)
-    live = (row_valid & (max_new_tokens > 1)
+    live = (row_valid & (budgets > 1)
             & ~token_is_eos(tok0, eos_ids))
     last_tok = last_tok.at[slot_ids].set(tok0)
     next_pos = next_pos.at[slot_ids].set(n_real)
     active = active.at[slot_ids].set(live)
     remaining = remaining.at[slot_ids].set(
-        jnp.where(row_valid, max_new_tokens - 1, 0))
+        jnp.where(row_valid, budgets - 1, 0))
     return pool_k, pool_v, valid, last_tok, next_pos, active, remaining
 
 
 class _Slot:
-    __slots__ = ("request_id", "tokens", "deliver", "open", "t0")
+    __slots__ = ("request_id", "tokens", "deliver", "open", "t0", "budget")
 
-    def __init__(self, request_id, deliver, t0):
+    def __init__(self, request_id, deliver, t0, budget):
         self.request_id = request_id
         self.tokens: List[int] = []
         self.deliver = deliver
         self.open = True
         self.t0 = t0
+        self.budget = budget   # this request's own max_new_tokens
 
 
 class DecodePool:
@@ -230,7 +236,8 @@ class DecodePool:
             rows_k, rows_k, mask,
             jnp.full((b,), self.cfg.pad_token_id, jnp.int32),
             jnp.arange(b, dtype=jnp.int32), self.cursor,
-            jnp.zeros((b,), bool), self.eos_ids, self.max_new_tokens)
+            jnp.zeros((b,), bool),
+            jnp.full((b,), self.max_new_tokens, jnp.int32), self.eos_ids)
 
     def warm_chunk(self) -> None:
         """Compile + run the (single-shape) decode_chunk program on the
@@ -315,7 +322,7 @@ class DecodePool:
         """Prompt-KV length T the staged batch will occupy in the pool."""
         if staged[0] == "packed":
             return self.engine.packed_p
-        _, ids, _, _, _, metas = staged
+        ids, metas = staged[1], staged[5]
         t = ids.shape[1]
         if metas is not None and any(m is not None for m in metas):
             t += self.engine.prefix_cache.pool_len
@@ -340,6 +347,7 @@ class DecodePool:
             return
         self._rng, rng = jax.random.split(self._rng)
         tok0, k, v, mask, n = engine.prefill_rows(staged, rng)
+        bud_dev, bud_host = staged[-1]
         bsz = k.shape[1]
         slot_ids = [self._free.pop() for _ in range(bsz)]
         row_valid = np.arange(bsz) < n
@@ -348,11 +356,11 @@ class DecodePool:
             self.pool_k, self.pool_v, self.valid, self.last_tok,
             self.next_pos, self.active, self.remaining,
             k, v, mask, tok0, jnp.asarray(slot_ids, jnp.int32), self.cursor,
-            jnp.asarray(row_valid), self.eos_ids, self.max_new_tokens)
+            jnp.asarray(row_valid), bud_dev, self.eos_ids)
         snapshot = {}
         for i, s in enumerate(slot_ids):
             if i < n:
-                m = _Slot(request_ids[i], deliver, t0)
+                m = _Slot(request_ids[i], deliver, t0, bud_host[i])
                 self._meta[s] = m
                 snapshot[i] = m
             else:
@@ -412,7 +420,7 @@ class DecodePool:
         if tok != self.cfg.pad_token_id and tok not in self.eos_ids:
             m.tokens.append(tok)
         done = (tok in self.eos_ids
-                or len(m.tokens) >= self.max_new_tokens)
+                or len(m.tokens) >= m.budget)
         # a pad emission means the device already deactivated this slot
         # (defensive — EOS/budget should always be visible first)
         if tok == self.cfg.pad_token_id:

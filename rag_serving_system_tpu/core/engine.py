@@ -166,12 +166,12 @@ def _packed_prefill_pool(params, cfg, stream, gather, last, rng,
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_new_tokens", "max_seg_len", "do_sample", "dtype", "act_quant"))
 def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
-                                max_new_tokens, max_seg_len, do_sample,
-                                dtype, act_quant):
+                                row_budget, max_new_tokens, max_seg_len,
+                                do_sample, dtype, act_quant):
     """Derive the packed-layout masks from the compact host encoding and run
     generate_packed (one XLA program per (T, P) shape):
       stream (3, T) = [ids | seg | pos]; gather (B, P) with -1 = empty slot;
-      last (B,) with -1 = pad row."""
+      last (B,) with -1 = pad row; row_budget (B,) per-row token budget."""
     ids, seg, pos = stream[0][None], stream[1][None], stream[2][None]
     prompt_mask = (gather >= 0).astype(jnp.int32)
     row_valid = last >= 0
@@ -180,7 +180,7 @@ def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
         jnp.maximum(gather, 0), prompt_mask, rng,
         max_new_tokens=max_new_tokens, max_seg_len=max_seg_len,
         do_sample=do_sample, dtype=dtype, row_valid=row_valid,
-        act_quant=act_quant)
+        act_quant=act_quant, row_budget=row_budget)
 
 
 class RagEngine:
@@ -751,15 +751,17 @@ class RagEngine:
         return (pick_bucket(buckets, max(lens) + 32),
                 max(16, sum(lens) // len(lens)))
 
-    def _stage_packed(self, rows: list, n: int, t: int):
+    def _stage_packed(self, rows: list, n: int, t: int, budgets=None):
         """Build the packed prompt layout (see models/qwen2.py
         prefill_packed): rows back-to-back in one (1, T) stream. Host side
-        produces THREE device puts: a (3, T) [ids | seg | pos] stream, the
-        (B, P) gather map (-1 = empty slot), and (B,) last-token indices
-        (-1 = pad row). B is pinned to the largest batch bucket. `t` is the
-        packed-length bucket stage_prompts already picked (it gates packed
-        vs padded on it)."""
+        produces FOUR device puts: a (3, T) [ids | seg | pos] stream, the
+        (B, P) gather map (-1 = empty slot), (B,) last-token indices
+        (-1 = pad row), and the (B,) per-row generation budgets. B is pinned
+        to the largest batch bucket. `t` is the packed-length bucket
+        stage_prompts already picked (it gates packed vs padded on it)."""
         cap = self.batch_buckets[-1]
+        if budgets is None:
+            budgets = np.full((cap,), self.settings.max_new_tokens, np.int32)
         p = self.packed_p
         rows = [r[-p:] for r in rows[:n]]          # left-truncate over-long
         stream = np.zeros((3, t), dtype=np.int32)
@@ -777,14 +779,15 @@ class RagEngine:
             last[b] = off + ln - 1
             off += ln
         return ("packed", self._put_batch(stream), self._put_batch(gather),
-                self._put_batch(last), n)
+                self._put_batch(last), n,
+                (self._put_batch(budgets), tuple(int(x) for x in budgets)))
 
-    def _generate_packed_dispatch(self, stream, gather, last, rng):
+    def _generate_packed_dispatch(self, stream, gather, last, rng, budgets):
         """Single packed-generate dispatch. The tiny derivations (masks from
-        the -1 coding) happen inside the jit so the host ships 3 tensors."""
+        the -1 coding) happen inside the jit so the host ships 4 tensors."""
         return _packed_unpack_and_generate(
             self.dec_params, self.dec_cfg, stream, gather, last, rng,
-            self.settings.max_new_tokens, self.packed_p,
+            budgets, self.settings.max_new_tokens, self.packed_p,
             self.settings.do_sample, self.dtype, self.act_quant)
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
@@ -849,6 +852,23 @@ class RagEngine:
         n = len(prompts)
         padded = list(prompts) + [""] * (bsz - n)
         rows = self._prompt_tokens_batch(padded)  # tokenize ONCE, memo + batch
+        # per-row generation budgets (request-level max_new_tokens, clamped
+        # to the engine cap; pad rows get the cap — they are born done).
+        # ALWAYS staged as a (bsz,) array so there is exactly one trace
+        # family: default requests decode bit-identically (a row whose
+        # budget equals the cap hits the budget cut on the loop's final
+        # column, after its last token is already written).
+        cap_mnt = self.settings.max_new_tokens
+
+        def _bud(p):
+            b = getattr(p, "gen_budget", None)
+            # None = engine default; 0/negative clamp to 1 (not to the cap —
+            # 0 is falsy, so `or` would silently promote it)
+            return cap_mnt if b is None else min(cap_mnt, max(1, int(b)))
+
+        bud_host = tuple(_bud(p) if i < n else cap_mnt
+                         for i, p in enumerate(padded))
+        bud = (self._put_batch(np.asarray(bud_host, np.int32)), bud_host)
 
         metas = None
         if (self.prefix_cache is not None
@@ -908,7 +928,10 @@ class RagEngine:
                 total = sum(len(r) for r in rows[:n])
                 t = pick_bucket(self.packed_t_buckets, total)
                 if t <= PACKED_MARGIN * bsz * plen:
-                    return self._stage_packed(rows, n, t)
+                    cap = self.batch_buckets[-1]
+                    pb = np.full((cap,), cap_mnt, np.int32)
+                    pb[:min(n, cap)] = bud_host[:min(n, cap)]
+                    return self._stage_packed(rows, n, t, pb)
         # truncate_side="left": over-long prompts keep the tail (the question
         # and the answer cue), dropping leading context instead
         ids, mask = pad_and_stack(rows, plen, self.dec_tok.pad_id,
@@ -917,7 +940,7 @@ class RagEngine:
         # pad rows are born done so EOS early-exit fires on partial batches
         row_valid = np.arange(bsz) < n
         return ("padded", self._put_batch(ids), self._put_batch(mask),
-                self._put_batch(row_valid), n, metas)
+                self._put_batch(row_valid), n, metas, bud)
 
     def generate_tokens(self, prompts: List[str] | None = None, staged=None):
         """Dispatch generation; returns an opaque handle WITHOUT forcing the
@@ -932,9 +955,10 @@ class RagEngine:
             staged = self.stage_prompts(prompts)
         self._rng, rng = jax.random.split(self._rng)
         if staged[0] == "packed":
-            _, stream, gather, last, n = staged
-            return self._generate_packed_dispatch(stream, gather, last, rng), n
-        _, ids, mask, row_valid, n, metas = staged
+            _, stream, gather, last, n, bud = staged
+            return self._generate_packed_dispatch(
+                stream, gather, last, rng, bud[0]), n
+        _, ids, mask, row_valid, n, metas, bud = staged
         prefix_kv = prefix_len = None
         if metas is not None and any(m is not None for m in metas):
             with self.timer.stage("prefix_resolve"):
@@ -944,7 +968,8 @@ class RagEngine:
                         do_sample=self.settings.do_sample, dtype=self.dtype,
                         row_valid=row_valid,
                         act_quant=self.act_quant,
-                        prefix_kv=prefix_kv, prefix_len=prefix_len)
+                        prefix_kv=prefix_kv, prefix_len=prefix_len,
+                        row_budget=bud[0])
         return toks, n
 
     def prefill_rows(self, staged, rng):
@@ -956,12 +981,12 @@ class RagEngine:
         the fixed path (`generate_tokens`); only the decode differs."""
         s = self.settings
         if staged[0] == "packed":
-            _, stream, gather, last, n = staged
+            _, stream, gather, last, n, _bud = staged
             tok0, k, v, mask = _packed_prefill_pool(
                 self.dec_params, self.dec_cfg, stream, gather, last, rng,
                 self.packed_p, s.do_sample, self.dtype, self.act_quant)
             return tok0, k, v, mask, n
-        _, ids, mask, row_valid, n, metas = staged
+        _, ids, mask, row_valid, n, metas, _bud = staged
         prefix_kv = prefix_len = None
         if metas is not None and any(m is not None for m in metas):
             with self.timer.stage("prefix_resolve"):
@@ -1042,28 +1067,41 @@ class RagEngine:
     # full pipeline
     # ------------------------------------------------------------------
 
-    def prepare(self, queries: List[str], ks: List[int]) -> List[str]:
+    def prepare(self, queries: List[str], ks: List[int],
+                budgets: List[int | None] | None = None) -> List[str]:
         """Stage 1: embed + retrieve + prompt build. Separated from stage 2 so
         the batch processor can overlap it with the previous batch's
-        generation (host work + retrieval dispatch hide under decode)."""
+        generation (host work + retrieval dispatch hide under decode).
+
+        `budgets` (optional, per request) is the request-level
+        max_new_tokens; it rides each PromptSpec so downstream batching /
+        length-aware reordering keeps budgets row-aligned."""
+        if budgets is None:
+            budgets = [None] * len(queries)
         with self.timer.stage("embed_retrieve"):
             doc_idx = self.embed_and_retrieve(queries, ks)
             contexts = [DOC_JOIN.join(self.documents[i] for i in row)
                         for row in doc_idx]
             if self.prefix_cache is None:
                 return [PROMPT_TEMPLATE.format(context=c, question=q)
-                        for q, c in zip(queries, contexts)]
+                        if b is None else
+                        PromptSpec(PROMPT_TEMPLATE.format(context=c,
+                                                          question=q),
+                                   gen_budget=b)
+                        for q, c, b in zip(queries, contexts, budgets)]
             # PromptSpec rides through batching/reordering as a plain str but
             # carries the cacheable context prefix and its identity key
             return [PromptSpec(PROMPT_TEMPLATE.format(context=c, question=q),
                                prefix_text=PREFIX_TEMPLATE.format(context=c),
-                               cache_key=("ctx", tuple(row)))
-                    for q, c, row in zip(queries, contexts, doc_idx)]
+                               cache_key=("ctx", tuple(row)), gen_budget=b)
+                    for q, c, row, b in zip(queries, contexts, doc_idx,
+                                            budgets)]
 
-    def process(self, queries: List[str], ks: List[int]) -> List[dict]:
+    def process(self, queries: List[str], ks: List[int],
+                budgets: List[int | None] | None = None) -> List[dict]:
         """Full RAG for a batch. Returns per-request result dicts."""
         t0 = time.time()
-        prompts = self.prepare(queries, ks)
+        prompts = self.prepare(queries, ks, budgets)
         t1 = time.time()
         answers = self.generate_answers(prompts)
         t2 = time.time()
@@ -1201,8 +1239,8 @@ class RagEngine:
         ln = max(1, min(self.packed_p, t // cap))
         rows = [[self.dec_tok.pad_id] * ln
                 for _ in range(min(cap, t // ln))]
-        _, stream, gather, last, _ = self._stage_packed(rows, len(rows), t)
-        self._generate_packed_dispatch(stream, gather, last, rng)
+        _, stream, gather, last, _, bud = self._stage_packed(rows, len(rows), t)
+        self._generate_packed_dispatch(stream, gather, last, rng, bud[0])
 
     def _warm_generate(self, b: int, plen: int, rng) -> None:
         """One no-prefix generate program at (batch=b, prompt=plen)."""
@@ -1211,7 +1249,9 @@ class RagEngine:
         generate(self.dec_params, self.dec_cfg, ids, mask, rng,
                  max_new_tokens=self.settings.max_new_tokens,
                  do_sample=self.settings.do_sample, dtype=self.dtype,
-                 row_valid=jnp.ones((b,), bool), act_quant=self.act_quant)
+                 row_valid=jnp.ones((b,), bool), act_quant=self.act_quant,
+                 row_budget=jnp.full((b,), self.settings.max_new_tokens,
+                                     jnp.int32))
 
     def _warm_prefix_compute(self, mb: int) -> None:
         """One prefix-miss compute+scatter program at miss-bucket mb."""
@@ -1356,7 +1396,7 @@ class RagEngine:
         cap = self.batch_buckets[-1]
         ln = max(1, min(self.packed_p, t // cap))
         rows = [[self.dec_tok.pad_id] * ln for _ in range(min(cap, t // ln))]
-        _, stream, gather, last, _ = self._stage_packed(rows, len(rows), t)
+        _, stream, gather, last, _, _bud = self._stage_packed(rows, len(rows), t)
         _packed_prefill_pool(self.dec_params, self.dec_cfg, stream, gather,
                              last, rng, self.packed_p,
                              self.settings.do_sample, self.dtype,
@@ -1406,4 +1446,6 @@ class RagEngine:
                  row_valid=jnp.ones((b,), bool),
                  act_quant=self.act_quant,
                  prefix_kv=prefix_kv,
-                 prefix_len=jnp.zeros((b,), jnp.int32))
+                 prefix_len=jnp.zeros((b,), jnp.int32),
+                 row_budget=jnp.full((b,), self.settings.max_new_tokens,
+                                     jnp.int32))

@@ -390,14 +390,19 @@ class PromptSpec(str):
     prefix_text: str
     cache_key: Hashable
     sort_len: int
+    gen_budget: int | None
 
-    def __new__(cls, text: str, prefix_text: str = "", cache_key=None):
+    def __new__(cls, text: str, prefix_text: str = "", cache_key=None,
+                gen_budget=None):
         s = super().__new__(cls, text)
         s.prefix_text = prefix_text
         s.cache_key = cache_key
         # length-aware batch regrouping should order by what actually sets
         # the prefill bucket: the SUFFIX (the prefix is cached KV)
         s.sort_len = max(len(text) - len(prefix_text), 0)
+        # per-request max_new_tokens (None = engine default); rides the
+        # prompt through batching/reordering so budgets stay row-aligned
+        s.gen_budget = gen_budget
         return s
 
 

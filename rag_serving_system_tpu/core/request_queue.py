@@ -57,19 +57,27 @@ class RequestQueue:
         self._callbacks: dict[str, list] = {}  # id → notification callbacks
         self._stores_since_sweep = 0
 
-    def add_request(self, query: str, k: int = 2) -> str:
-        return self.add_request_with_id(str(uuid.uuid4()), query, k)
+    def add_request(self, query: str, k: int = 2,
+                    max_new_tokens: int | None = None) -> str:
+        return self.add_request_with_id(str(uuid.uuid4()), query, k,
+                                        max_new_tokens)
 
-    def add_request_with_id(self, request_id: str, query: str, k: int = 2) -> str:
+    def add_request_with_id(self, request_id: str, query: str, k: int = 2,
+                            max_new_tokens: int | None = None) -> str:
         """Enqueue with a caller-assigned id (the native HTTP front mints its
-        own ids on the epoll thread so submission needs no Python round trip)."""
+        own ids on the epoll thread so submission needs no Python round trip).
+        `max_new_tokens` (optional) is the request's own generation budget;
+        omitted from the payload when unset so the default wire contract is
+        unchanged."""
         ts = time.time()
         # side deque of enqueue timestamps so oldest_wait_time() can peek
         # (queue.Queue has no peek); appended BEFORE put so a racing consumer
         # always finds a timestamp to pop; popped as items are dequeued below
         self._pending_ts.append(ts)
-        self.queue.put({"id": request_id, "query": query, "k": k,
-                        "timestamp": ts})
+        item = {"id": request_id, "query": query, "k": k, "timestamp": ts}
+        if max_new_tokens is not None:
+            item["max_new_tokens"] = max_new_tokens
+        self.queue.put(item)
         return request_id
 
     def get_batch(self) -> list:
@@ -210,13 +218,20 @@ class RedisRequestQueue:
         self.queue_key = self.QUEUE_KEY
         self.results_key_prefix = self.RESULT_PREFIX
 
-    def add_request(self, query: str, k: int = 2) -> str:
-        return self.add_request_with_id(str(uuid.uuid4()), query, k)
+    def add_request(self, query: str, k: int = 2,
+                    max_new_tokens: int | None = None) -> str:
+        return self.add_request_with_id(str(uuid.uuid4()), query, k,
+                                        max_new_tokens)
 
-    def add_request_with_id(self, request_id: str, query: str, k: int = 2) -> str:
-        self.redis.rpush(self.queue_key, json.dumps({
-            "id": request_id, "query": query, "k": k, "timestamp": time.time(),
-        }))
+    def add_request_with_id(self, request_id: str, query: str, k: int = 2,
+                            max_new_tokens: int | None = None) -> str:
+        item = {"id": request_id, "query": query, "k": k,
+                "timestamp": time.time()}
+        if max_new_tokens is not None:
+            # optional field: absent for default requests, so the reference
+            # wire contract (id/query/k/timestamp) stays byte-compatible
+            item["max_new_tokens"] = max_new_tokens
+        self.redis.rpush(self.queue_key, json.dumps(item))
         return request_id
 
     def get_batch(self) -> list:

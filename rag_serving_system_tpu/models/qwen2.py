@@ -424,11 +424,19 @@ def pick_token(logits, rng, do_sample, temperature=0.7, top_k=20, top_p=0.8):
 
 def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                  max_new_tokens, temperature, top_k, top_p, do_sample,
-                 dtype, row_valid, p):
+                 dtype, row_valid, p, row_budget=None):
     """Shared sample + while_loop decode over a prefilled cache (see
     `generate` for semantics: EOS early exit, pad rows born done, fixed
     (B, max_new_tokens) output). `p` is the static combined prompt length
-    the cache was built with; `attention_mask` is (B, p)."""
+    the cache was built with; `attention_mask` is (B, p).
+
+    `row_budget` ((B,) int32, values in [1, max_new_tokens]) gives each row
+    its OWN generation budget (per-request max_new_tokens): a row is done
+    once it has emitted its budget, and — because the early exit is
+    `all(done)` — the while_loop runs only max(row_budget) trips, so a
+    batch of short budgets pays max(batch), not the engine-wide cap. The
+    continuous decode pool does strictly better (each slot frees at its own
+    budget); this is the fixed path's bounded version of the same feature."""
     b = attention_mask.shape[0]
 
     def pick(logits, rng):
@@ -446,6 +454,8 @@ def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
     done0 = is_eos(tok0)
     if row_valid is not None:
         done0 = done0 | jnp.logical_not(row_valid)
+    if row_budget is not None:
+        done0 = done0 | (row_budget <= 1)
     out0 = jnp.full((b, max_new_tokens), cfg.pad_token_id, jnp.int32)
     out0 = out0.at[:, 0].set(tok0)
 
@@ -464,6 +474,9 @@ def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
         nxt = pick(logits, step_rng).astype(jnp.int32)
         nxt = jnp.where(done, jnp.int32(cfg.pad_token_id), nxt)
         done = done | is_eos(nxt)
+        if row_budget is not None:
+            # column step+1 just emitted → the row holds step+2 tokens
+            done = done | (step + 2 >= row_budget)
         out = jax.lax.dynamic_update_slice(out, nxt[:, None], (0, step + 1))
         return (step + 1, nxt, done, cache, rng, out)
 
@@ -562,6 +575,7 @@ def generate_packed(
     dtype=jnp.bfloat16,
     row_valid: jax.Array | None = None,
     act_quant: bool = False,
+    row_budget: jax.Array | None = None,  # (B,) per-row generation budget
 ) -> jax.Array:
     """Packed-prefill + standard decode. Same contract as `generate` (fixed
     (B, max_new_tokens) output, EOS early exit) with the prompt batch in
@@ -574,7 +588,7 @@ def generate_packed(
     p = gather_idx.shape[1]
     return _decode_loop(params, cfg, logits0, cache, prompt_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
-                        dtype, row_valid, p)
+                        dtype, row_valid, p, row_budget=row_budget)
 
 
 @functools.partial(
@@ -788,6 +802,7 @@ def generate(
     act_quant: bool = False,              # W8A8 prefill (decode unaffected)
     prefix_kv: jax.Array | None = None,   # (B, L, 2, PL, Hk, D) cached ctx KV
     prefix_len: jax.Array | None = None,  # (B,) int32
+    row_budget: jax.Array | None = None,  # (B,) int32 per-row token budget
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
@@ -822,4 +837,4 @@ def generate(
     # leaks post-EOS samples into the answer.
     return _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
-                        dtype, row_valid, p)
+                        dtype, row_valid, p, row_budget=row_budget)

@@ -55,6 +55,25 @@ def get_httpfront_lib():
         return None
     try:
         lib = ctypes.CDLL(path)
+        # drain-record wire format is shared with api/native_front.py's
+        # struct unpack — a stale .so (built before a format bump, or
+        # missing the version export entirely) must be rebuilt, not loaded
+        abi = (lib.httpfront_abi_version()
+               if hasattr(lib, "httpfront_abi_version") else 0)
+        if abi != 2:
+            logger.info("native front ABI %d != 2; rebuilding", abi)
+            del lib
+            # unlink first: the compiler truncates in place (same inode) and
+            # dlopen caches by inode, so an in-place rebuild could hand back
+            # the stale mapping; a fresh inode guarantees a fresh load
+            os.remove(path)
+            subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
+                           capture_output=True, check=True, timeout=120)
+            lib = ctypes.CDLL(path)
+            if (not hasattr(lib, "httpfront_abi_version")
+                    or lib.httpfront_abi_version() != 2):
+                logger.warning("native front ABI still stale after rebuild")
+                return None
         lib.httpfront_start.restype = ctypes.c_int
         lib.httpfront_start.argtypes = [ctypes.c_int, ctypes.c_int]
         lib.httpfront_stop.restype = None

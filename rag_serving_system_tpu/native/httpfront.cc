@@ -186,13 +186,15 @@ static size_t json_skip_value(const std::string &s, size_t i) {
   return i == start ? std::string::npos : i;
 }
 
-// Extract top-level "query" (string, required) and "k" (int, optional).
-// Returns true iff body is a JSON object with a string "query" field and,
-// when "k" is present, an integer 1..1024 (pydantic bounds,
+// Extract top-level "query" (string, required), "k" (int, optional) and
+// "max_new_tokens" (int, optional; 0 = unset → engine default). Returns
+// true iff body is a JSON object with a string "query" field and, when the
+// int fields are present, integers 1..1024 (pydantic bounds,
 // api/models.py:10).
 static bool parse_rag_body(const std::string &body, std::string *query,
-                           long *k, bool *query_seen) {
+                           long *k, long *mnt, bool *query_seen) {
   *k = 2;
+  *mnt = 0;
   *query_seen = false;
   size_t i = skip_ws(body, 0);
   if (i >= body.size() || body[i] != '{') return false;
@@ -212,18 +214,25 @@ static bool parse_rag_body(const std::string &body, std::string *query,
       i = json_parse_string(body, i, query);
       if (i == std::string::npos) return false;
       *query_seen = true;
-    } else if (key == "k") {
+    } else if (key == "k" || key == "max_new_tokens") {
       size_t end = json_skip_value(body, i);
       if (end == std::string::npos) return false;
-      char *stop = nullptr;
-      long v = strtol(body.c_str() + i, &stop, 10);
-      if (stop == body.c_str() + i) return false;     // not a number
-      // reject floats ("2.5") — pydantic would too
-      for (const char *p = stop; p < body.c_str() + end; p++)
-        if (*p != ' ' && *p != '\t' && *p != '\n' && *p != '\r') return false;
-      if (v < 1 || v > 1024) return false;
-      *k = v;
-      i = end;
+      // "max_new_tokens": null means unset (pydantic default) — skip it
+      if (key == "max_new_tokens" && end == i + 4 &&
+          body.compare(i, 4, "null") == 0) {
+        i = end;
+      } else {
+        char *stop = nullptr;
+        long v = strtol(body.c_str() + i, &stop, 10);
+        if (stop == body.c_str() + i) return false;     // not a number
+        // reject floats ("2.5") — pydantic would too
+        for (const char *p = stop; p < body.c_str() + end; p++)
+          if (*p != ' ' && *p != '\t' && *p != '\n' && *p != '\r')
+            return false;
+        if (v < 1 || v > 1024) return false;
+        *(key == "k" ? k : mnt) = v;
+        i = end;
+      }
     } else {
       i = json_skip_value(body, i);
       if (i == std::string::npos) return false;
@@ -271,6 +280,7 @@ struct Waiter {
 struct PendingReq {   // epoll thread → Python drain
   std::string id;
   long k;
+  long mnt;            // per-request max_new_tokens (0 = engine default)
   std::string query;
 };
 
@@ -407,10 +417,10 @@ static void handle_request(Conn &c) {
   }
   if (c.method == "POST" && c.path == "/rag") {
     std::string query;
-    long k = 2;
+    long k = 2, mnt = 0;
     bool query_seen = false;
-    if (!parse_rag_body(c.body, &query, &k, &query_seen) || !query_seen ||
-        query.size() > 100000) {
+    if (!parse_rag_body(c.body, &query, &k, &mnt, &query_seen) ||
+        !query_seen || query.size() > 100000) {
       g_stat_bad.fetch_add(1, std::memory_order_relaxed);
       respond(c, 422, "Unprocessable Entity",
               "{\"detail\": \"invalid request body\"}");
@@ -431,7 +441,7 @@ static void handle_request(Conn &c) {
     g_stat_accepted.fetch_add(1, std::memory_order_relaxed);
     {
       std::lock_guard<std::mutex> lk(g_pending_mu);
-      g_pending.push_back({id, k, std::move(query)});
+      g_pending.push_back({id, k, mnt, std::move(query)});
     }
     g_pending_cv.notify_one();
     double wait = query_param(c.query_string, "wait", 0.0);
@@ -813,7 +823,8 @@ void httpfront_stop() {
 }
 
 // Pull accepted requests. Packs records into buf:
-//   u16 id_len | u32 k | u32 query_len | id bytes | query bytes
+//   u16 id_len | u32 k | u32 max_new_tokens (0 = default) | u32 query_len |
+//   id bytes | query bytes
 // Blocks up to timeout_ms when none are pending. Returns bytes written
 // (0 = timeout, -1 = stopped).
 int httpfront_drain(char *buf, int cap, int timeout_ms) {
@@ -826,16 +837,18 @@ int httpfront_drain(char *buf, int cap, int timeout_ms) {
   int off = 0;
   while (!g_pending.empty()) {
     PendingReq &r = g_pending.front();
-    int need = 10 + (int)r.id.size() + (int)r.query.size();
+    int need = 14 + (int)r.id.size() + (int)r.query.size();
     if (off + need > cap) break;
     uint16_t idl = (uint16_t)r.id.size();
     uint32_t k32 = (uint32_t)r.k;
+    uint32_t m32 = (uint32_t)r.mnt;
     uint32_t ql = (uint32_t)r.query.size();
     memcpy(buf + off, &idl, 2);
     memcpy(buf + off + 2, &k32, 4);
-    memcpy(buf + off + 6, &ql, 4);
-    memcpy(buf + off + 10, r.id.data(), idl);
-    memcpy(buf + off + 10 + idl, r.query.data(), ql);
+    memcpy(buf + off + 6, &m32, 4);
+    memcpy(buf + off + 10, &ql, 4);
+    memcpy(buf + off + 14, r.id.data(), idl);
+    memcpy(buf + off + 14 + idl, r.query.data(), ql);
     off += need;
     g_pending.pop_front();
   }
@@ -852,6 +865,11 @@ void httpfront_complete(const char *id, int id_len, const char *json,
   uint64_t one = 1;
   (void)!write(g_evfd, &one, sizeof one);
 }
+
+// Drain-record wire-format version. native/__init__.py checks this on load
+// and rebuilds a stale library so the ctypes struct layout can never desync:
+//   v2 = u16 id_len | u32 k | u32 max_new_tokens | u32 query_len | bytes
+int httpfront_abi_version(void) { return 2; }
 
 // Write this front's id prefix ("nf-<tag>-") into buf; returns its length.
 // Ids minted by OTHER processes/restarts carry a different tag — results for

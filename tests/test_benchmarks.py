@@ -105,7 +105,7 @@ def stub_rag_server():
     from rag_serving_system_tpu.core.request_queue import RequestQueue
 
     class _Stub:
-        def prepare(self, queries, ks):
+        def prepare(self, queries, ks, budgets=None):
             return list(queries)
 
         def generate_tokens(self, prompts, staged=None):

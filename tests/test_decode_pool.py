@@ -54,16 +54,19 @@ class _Pool:
         self.cursor = jnp.int32(cursor)
         self.eos = eos_id_set(cfg)
 
-    def insert(self, ids, mask, slot_ids, rng, mnt):
+    def insert(self, ids, mask, slot_ids, rng, mnt, budgets=None):
+        b = ids.shape[0]
+        if budgets is None:
+            budgets = [mnt] * b
         tok0, k, v, cmask = prefill_for_pool(
             self.params, self.cfg, ids, mask, rng, do_sample=False,
-            dtype=self.dtype, row_valid=jnp.ones(ids.shape[0], bool))
+            dtype=self.dtype, row_valid=jnp.ones(b, bool))
         (self.k, self.v, self.valid, self.last, self.pos, self.active,
          self.rem) = _insert_rows(
             self.k, self.v, self.valid, self.last, self.pos, self.active,
             self.rem, k, v, cmask, tok0,
             jnp.asarray(slot_ids, jnp.int32), self.cursor,
-            jnp.ones(ids.shape[0], bool), self.eos, mnt)
+            jnp.ones(b, bool), jnp.asarray(budgets, jnp.int32), self.eos)
         return np.asarray(tok0)
 
     def chunk(self, rng, n):

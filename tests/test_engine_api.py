@@ -193,7 +193,7 @@ def test_failed_batch_fans_out_errors(engine):
     queue = RequestQueue(max_batch_size=4, max_wait_time=0.1)
 
     class BrokenEngine:
-        def prepare(self, queries, ks):
+        def prepare(self, queries, ks, budgets=None):
             raise RuntimeError("boom")
 
         def generate_answers(self, prompts):
@@ -228,7 +228,7 @@ def test_batch_buckets_cover_max_batch_size():
 class _StubEngine:
     """Minimal engine double: prompt = query text, answer = f(prompt)."""
 
-    def prepare(self, queries, ks):
+    def prepare(self, queries, ks, budgets=None):
         return [f"P:{q}" for q in queries]
 
     def generate_tokens(self, prompts, staged=None):

@@ -168,7 +168,7 @@ def test_batch_processor_end_to_end_over_miniredis(server):
     from rag_serving_system_tpu.core.batch_processor import BatchProcessor
 
     class _Engine:
-        def prepare(self, queries, ks):
+        def prepare(self, queries, ks, budgets=None):
             return queries
 
         def generate_tokens(self, prompts, staged=None):

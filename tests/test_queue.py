@@ -205,7 +205,7 @@ def test_replica_failover_drains_remaining_work(redis_queue):
     from rag_serving_system_tpu.core.batch_processor import BatchProcessor
 
     class _Engine:
-        def prepare(self, queries, ks):
+        def prepare(self, queries, ks, budgets=None):
             return queries
 
         def generate_tokens(self, prompts, staged=None):
