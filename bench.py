@@ -217,11 +217,25 @@ def main() -> None:
     warm = time.time() - t0
     print(f"[bench] warm batch (engine serial) {warm:.3f}s", file=sys.stderr)
 
+    # BENCH_BUDGET_SPREAD="lo,hi": per-request generation budgets drawn
+    # uniform [lo, hi] (seeded) — the completion-length-variance workload
+    # continuous batching exists for. The fixed path pays ~max(batch) decode
+    # steps per batch; the pool frees each slot at its own budget.
+    spread = os.environ.get("BENCH_BUDGET_SPREAD")
+    total = batch * n_batches
+    budgets = None
+    if spread:
+        lo, hi = (int(x) for x in spread.split(","))
+        budgets = np.random.default_rng(42).integers(
+            lo, hi + 1, size=total).tolist()
+
     # on-device proxy (VERDICT r2 #10): CHAINED generate dispatches with one
     # host sync — excludes queue/HTTP/host-staging and, crucially, the axon
     # tunnel's per-sync ~26 ms and its ±15% cross-session drift, so
     # round-over-round comparisons have a stable device-side anchor
-    staged = engine.stage_prompts(engine.prepare(queries, ks))
+    staged = engine.stage_prompts(
+        engine.prepare(queries, ks,
+                       budgets[:batch] if budgets else None))
     reps = 8
     handle = engine.generate_tokens(staged=staged)
     engine.finalize_tokens(handle)  # sync
@@ -243,9 +257,9 @@ def main() -> None:
     processor = BatchProcessor(rq, engine, polling_interval=0.002)
     processor.start()
 
-    total = batch * n_batches
     t0 = time.time()
-    rids = [rq.add_request(queries[j % len(queries)], 2)
+    rids = [rq.add_request(queries[j % len(queries)], 2,
+                           budgets[j] if budgets else None)
             for j in range(total)]
     for rid in rids:
         res = rq.get_result(rid, timeout=600)
@@ -259,6 +273,8 @@ def main() -> None:
                   + ("" if config == "short_facts" else f"_{config}")
                   + ("_tinysmoke" if mode == "tiny" else "")
                   + (f"_mnt{mnt}" if mnt != 10 else "")
+                  # per-request budget-variance workload (seeded uniform)
+                  + ((f"_bud" + spread.replace(",", "_")) if spread else "")
                   # continuous (in-flight) batching over the decode pool —
                   # distinct key: the serving loop's completion semantics
                   # differ (per-request delivery, no batch-drain wait)

@@ -57,7 +57,8 @@ def load_queries(queries_file: str) -> list[str]:
 
 async def send_request(session, endpoint: str, query: str, k: int,
                        poll_interval: float, timeout: float,
-                       metrics: MetricsCollector, req_id: str) -> None:
+                       metrics: MetricsCollector, req_id: str,
+                       max_new_tokens: int | None = None) -> None:
     metrics.record_request_start(req_id)
     deadline = time.time() + timeout
     try:
@@ -67,8 +68,10 @@ async def send_request(session, endpoint: str, query: str, k: int,
         sync_wait = float(os.environ.get("LOADGEN_SYNC_WAIT", "0"))
         post_url = (f"{endpoint}/rag?wait={sync_wait}" if sync_wait > 0
                     else f"{endpoint}/rag")
-        async with session.post(post_url,
-                                json={"query": query, "k": k}) as resp:
+        payload = {"query": query, "k": k}
+        if max_new_tokens is not None:
+            payload["max_new_tokens"] = max_new_tokens
+        async with session.post(post_url, json=payload) as resp:
             if resp.status != 200:
                 metrics.record_request_end(req_id, False)
                 return
@@ -102,10 +105,18 @@ async def send_request(session, endpoint: str, query: str, k: int,
 async def run_load_test(endpoint: str, pattern: str, rps: int, duration: int,
                         seed: int | None, timeout: float, queries: list[str],
                         k: int = 2, poll_interval: float = 0.3,
-                        query_sample: str = "cycle") -> MetricsCollector:
+                        query_sample: str = "cycle",
+                        budget_spread: str | None = None) -> MetricsCollector:
     import aiohttp
 
     trace = generate_trace(pattern, rps, duration, seed)
+    budgets = None
+    if budget_spread:
+        # per-request max_new_tokens drawn seeded-uniform [lo, hi] — the
+        # completion-length-variance workload for DECODE_MODE=continuous
+        lo, hi = (int(x) for x in budget_spread.split(","))
+        brng = random.Random((seed if seed is not None else 0) ^ 0xB0D6E7)
+        budgets = [brng.randint(lo, hi) for _ in trace]
     if query_sample == "random":
         # seeded uniform sampling over the pool — the realistic traffic shape
         # for cache studies (cycling visits every query exactly once per lap,
@@ -128,7 +139,8 @@ async def run_load_test(endpoint: str, pattern: str, rps: int, duration: int,
             query = queries[i % len(queries)]
             tasks.append(asyncio.create_task(send_request(
                 session, endpoint, query, k, poll_interval, timeout,
-                metrics, f"req-{i}")))
+                metrics, f"req-{i}",
+                max_new_tokens=budgets[i] if budgets else None)))
         if tasks:
             await asyncio.gather(*tasks)
     metrics.end_test()
@@ -155,13 +167,16 @@ def main() -> None:
                         help="pool traversal: sequential cycle (default) or "
                              "seeded uniform random sampling")
     parser.add_argument("--output", default=None, help="results JSON path")
+    parser.add_argument("--budget-spread", default=None, metavar="LO,HI",
+                        help="per-request max_new_tokens drawn seeded-uniform"
+                             " [LO, HI] (completion-length-variance workload)")
     args = parser.parse_args()
 
     queries = load_queries(args.queries_file)
     metrics = asyncio.run(run_load_test(
         args.endpoint, args.pattern, args.rps, args.duration, args.seed,
         args.timeout, queries, k=args.k, poll_interval=args.poll_interval,
-        query_sample=args.query_sample))
+        query_sample=args.query_sample, budget_spread=args.budget_spread))
     metrics.print_summary()
     if args.output:
         metrics.save_results(args.output)

@@ -153,6 +153,7 @@ struct Request {
   double start = 0;        // latency clock start (at scheduled dispatch)
   double deadline = 0;     // start + timeout
   const std::string* query = nullptr;  // raw escaped form
+  int mnt = 0;             // per-request max_new_tokens (0 = omit field)
 };
 
 struct Conn {
@@ -180,6 +181,7 @@ int main(int argc, char** argv) {
   if (const char* e = getenv("DOCUMENT_QUERIES_FILE")) queries_file = e;
   std::string query_sample = "cycle";
   std::string output;
+  std::string budget_spread;  // "lo,hi": per-request max_new_tokens uniform
   int pool_size = 256;
   if (const char* e = getenv("LOADGEN_CONNECTIONS")) pool_size = atoi(e);
   if (pool_size < 1) pool_size = 1;        // 0/garbage would hang the loop
@@ -206,6 +208,7 @@ int main(int argc, char** argv) {
     else if (a == "--query-sample") query_sample = next("query-sample");
     else if (a == "--output") output = next("output");
     else if (a == "--connections") pool_size = atoi(next("connections").c_str());
+    else if (a == "--budget-spread") budget_spread = next("budget-spread");
     else { fprintf(stderr, "unknown arg: %s\n", a.c_str()); exit(2); }
   }
 
@@ -310,7 +313,8 @@ int main(int argc, char** argv) {
   if (sync_wait > 0) snprintf(postpath, sizeof postpath, "/rag?wait=%g", sync_wait);
 
   auto build_post = [&](const Request& r) {
-    std::string body = "{\"query\": \"" + *r.query + "\", \"k\": " + std::to_string(k) + "}";
+    std::string body = "{\"query\": \"" + *r.query + "\", \"k\": " + std::to_string(k) +
+                       (r.mnt > 0 ? ", \"max_new_tokens\": " + std::to_string(r.mnt) : "") + "}";
     std::string msg = "POST " + std::string(postpath) + " HTTP/1.1\r\nHost: " + host +
                       "\r\nContent-Type: application/json\r\nContent-Length: " +
                       std::to_string(body.size()) + "\r\nConnection: keep-alive\r\n\r\n" + body;
@@ -393,6 +397,23 @@ int main(int argc, char** argv) {
   for (int i = 0; i < total; i++) {
     reqs[i].idx = i;
     reqs[i].query = req_query[i];
+  }
+  if (!budget_spread.empty()) {
+    // seeded per-request max_new_tokens uniform [lo, hi] — matches the
+    // Python client's --budget-spread (variance workload for the
+    // continuous decode pool); separate stream so the arrival trace is
+    // unchanged for a given seed
+    int lo = 1, hi = 1;
+    if (sscanf(budget_spread.c_str(), "%d,%d", &lo, &hi) != 2 || lo < 1 ||
+        hi < lo) {
+      fprintf(stderr, "bad --budget-spread %s (want LO,HI)\n",
+              budget_spread.c_str());
+      return 2;
+    }
+    std::mt19937_64 brng((seed >= 0 ? (uint64_t)seed : 0x5eedULL) ^
+                         0xB0D6E7ULL);
+    std::uniform_int_distribution<int> bud(lo, hi);
+    for (int i = 0; i < total; i++) reqs[i].mnt = bud(brng);
   }
 
   std::vector<struct epoll_event> evs(256);

@@ -291,3 +291,79 @@ def test_native_loadgen_connection_refused_fails_fast(native_loadgen, tmp_path):
     m = json.loads(out.read_text())
     assert m["failed_requests"] == 5 and m["successful_requests"] == 0
     assert time.time() - t0 < 15
+
+
+def test_loadgen_budget_spread_reaches_engine(native_loadgen, tmp_path):
+    """--budget-spread LO,HI on BOTH clients: every request carries a
+    per-request max_new_tokens in [LO, HI], delivered through the API/queue
+    to the engine's prepare(budgets=...) row-aligned with the queries."""
+    import asyncio
+    import json
+    import subprocess
+
+    from rag_serving_system_tpu.api.endpoints import ServerThread, create_api
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+    from rag_serving_system_tpu.core.request_queue import RequestQueue
+    from benchmarks.load_generator import run_load_test
+
+    seen: list = []
+
+    class _Recorder:
+        def prepare(self, queries, ks, budgets=None):
+            seen.extend(budgets or [None] * len(queries))
+            return list(queries)
+
+        def generate_tokens(self, prompts, staged=None):
+            return list(prompts)
+
+        def finalize_tokens(self, handle):
+            return [f"ans:{p}" for p in handle]
+
+        def generate_answers(self, prompts):
+            return self.finalize_tokens(prompts)
+
+    q = RequestQueue(max_batch_size=8, max_wait_time=0.02,
+                     polling_interval=0.01)
+    proc = BatchProcessor(q, _Recorder(), polling_interval=0.01)
+    proc.start()
+    server = ServerThread(create_api(q, proc)).start()
+    try:
+        # python client
+        m = asyncio.run(run_load_test(
+            server.url, "uniform", 10, 2, seed=3, timeout=20,
+            queries=["alpha", "beta"], poll_interval=0.05,
+            budget_spread="2,9"))
+        assert m.calculate_metrics()["successful_requests"] == 20
+        py_budgets = list(seen)
+        assert len(py_budgets) == 20
+        assert all(isinstance(b, int) and 2 <= b <= 9 for b in py_budgets)
+        assert len(set(py_budgets)) > 1, "no variance drawn"
+
+        # native client
+        seen.clear()
+        qfile = tmp_path / "queries.json"
+        qfile.write_text(json.dumps(["alpha", "beta"]))
+        out = tmp_path / "out.json"
+        r = subprocess.run(
+            [native_loadgen, "--endpoint", server.url, "--pattern", "uniform",
+             "--rps", "10", "--duration", "2", "--seed", "3",
+             "--timeout", "20", "--poll-interval", "0.05",
+             "--queries-file", str(qfile), "--budget-spread", "2,9",
+             "--output", str(out)],
+            capture_output=True, text=True, timeout=60)
+        assert r.returncode == 0, r.stderr
+        assert json.loads(out.read_text())["successful_requests"] == 20
+        assert len(seen) == 20
+        assert all(isinstance(b, int) and 2 <= b <= 9 for b in seen)
+        assert len(set(seen)) > 1
+
+        # without the flag: no budgets reach the engine
+        seen.clear()
+        m = asyncio.run(run_load_test(
+            server.url, "uniform", 5, 1, seed=3, timeout=20,
+            queries=["alpha"], poll_interval=0.05))
+        assert m.calculate_metrics()["successful_requests"] == 5
+        assert seen == [None] * 5
+    finally:
+        proc.stop()
+        server.stop()
