@@ -128,11 +128,23 @@ class BatchProcessor(threading.Thread):
                              if self.stage_on_prefetch else None)
                     if len(batch) > cap:
                         # PromptSpec.sort_len orders by SUFFIX length when a
-                        # prefix-KV cache handles the context part
-                        order = sorted(range(len(batch)),
-                                       key=lambda i: getattr(
-                                           prompts[i], "sort_len",
-                                           len(prompts[i])))
+                        # prefix-KV cache handles the context part. Budget
+                        # first: the fixed decode pays max(batch budgets)
+                        # steps per batch, so grouping short-budget requests
+                        # together saves whole decode steps — with uniform
+                        # budgets (the default) the key degenerates to the
+                        # pure length sort, unchanged behavior
+                        cap_mnt = getattr(
+                            getattr(self.engine, "settings", None),
+                            "max_new_tokens", 1 << 30)
+
+                        def _key(i):
+                            b = getattr(prompts[i], "gen_budget", None)
+                            return (cap_mnt if b is None else b,
+                                    getattr(prompts[i], "sort_len",
+                                            len(prompts[i])))
+
+                        order = sorted(range(len(batch)), key=_key)
                         for lo in range(0, len(order), cap):
                             grp = order[lo:lo + cap]
                             gp = [prompts[i] for i in grp]

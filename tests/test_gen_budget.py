@@ -352,3 +352,54 @@ def test_native_front_drain_carries_budget():
         c.close()
     finally:
         nf.stop()
+
+
+def test_budget_aware_regrouping_partitions_by_budget():
+    """When the two-batch window regroups, budgets sort FIRST: short-budget
+    requests land in the same batch (the fixed decode pays max(batch
+    budgets) per batch, so mixing a budget-64 row into a budget-8 batch
+    costs the whole batch 56 extra steps). Every request still gets its own
+    answer, and with uniform budgets the key reduces to the length sort."""
+    from rag_serving_system_tpu.core.batch_processor import BatchProcessor
+    from rag_serving_system_tpu.core.prefix_cache import PromptSpec
+
+    groups: list = []
+
+    class _Stub:
+        class settings:
+            max_new_tokens = 64
+
+        def prepare(self, queries, ks, budgets=None):
+            budgets = budgets or [None] * len(queries)
+            return [PromptSpec(f"P:{q}", gen_budget=b)
+                    for q, b in zip(queries, budgets)]
+
+        def generate_tokens(self, prompts, staged=None):
+            groups.append([p.gen_budget for p in prompts])
+            return list(prompts)
+
+        def finalize_tokens(self, handle):
+            return [f"ans:{p}" for p in handle]
+
+        def generate_answers(self, prompts):
+            return self.finalize_tokens(self.generate_tokens(prompts))
+
+    q = RequestQueue(max_batch_size=4, max_wait_time=0.05,
+                     polling_interval=0.01)
+    # a full two-batch window of interleaved budgets: FIFO slices would mix
+    # 2s and 60s in both batches; budget-aware regrouping separates them
+    budgets = [2, 60, 2, 60, 2, 60, 2, 60]
+    rids = [q.add_request(f"query number {i}", 1, max_new_tokens=b)
+            for i, b in enumerate(budgets)]
+    bp = BatchProcessor(q, _Stub(), polling_interval=0.01)
+    bp.start()
+    try:
+        for i, rid in enumerate(rids):
+            res = q.get_result(rid, timeout=10)
+            assert res is not None
+            assert res["result"] == f"ans:P:query number {i}"
+    finally:
+        bp.stop()
+    two_batch = [g for g in groups if len(g) == 4]
+    assert any(set(g) == {2} for g in two_batch), groups
+    assert any(set(g) == {60} for g in two_batch), groups
