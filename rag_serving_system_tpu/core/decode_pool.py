@@ -186,6 +186,7 @@ class DecodePool:
         self.steps = 0
         self.completed = 0
         self.inserted = 0
+        self.tokens_emitted = 0   # real (non-pad) tokens consumed from blocks
         logger.info(
             "decode pool: %d slots x window %d, chunk %d (%s KV, %.0f MB)",
             slots, window, chunk, np.dtype(kv_dtype).name,
@@ -223,6 +224,12 @@ class DecodePool:
                 "window": self.window, "chunk": self.chunk,
                 "steps": self.steps, "inserted": self.inserted,
                 "completed": self.completed,
+                "tokens_emitted": self.tokens_emitted,
+                # mean fraction of slot-steps that produced a real token —
+                # the quantity continuous batching improves vs the fixed
+                # path's pay-max(batch) padding (1.0 = no wasted slot-steps)
+                "occupancy": round(self.tokens_emitted
+                                   / max(1, self.steps * self.slots), 4),
                 "pending_submits": self._submit_q.qsize()}
 
     def warm_insert(self, rows_k, mask) -> None:
@@ -419,6 +426,7 @@ class DecodePool:
             return
         if tok != self.cfg.pad_token_id and tok not in self.eos_ids:
             m.tokens.append(tok)
+            self.tokens_emitted += 1
         done = (tok in self.eos_ids
                 or len(m.tokens) >= m.budget)
         # a pad emission means the device already deactivated this slot

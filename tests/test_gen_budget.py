@@ -403,3 +403,24 @@ def test_budget_aware_regrouping_partitions_by_budget():
     two_batch = [g for g in groups if len(g) == 4]
     assert any(set(g) == {2} for g in two_batch), groups
     assert any(set(g) == {60} for g in two_batch), groups
+
+
+def test_pool_occupancy_stats(corpus):
+    """tokens_emitted / occupancy reflect real tokens only: with mixed
+    budgets the pool's occupancy stays high (slots free at their own
+    budget) while total emitted equals the sum of budgets."""
+    eng = _engine(corpus, decode_mode="continuous")
+    pool = eng.decode_pool
+    pool.start()
+    try:
+        results = {}
+        prompts = eng.prepare(QS, [2] * 3, budgets=[1, 6, 3])
+        pool.submit(["a", "b", "c"], prompts,
+                    lambda rid, res: results.__setitem__(rid, res))
+        assert pool.wait_idle(120.0)
+        st = pool.stats()
+        assert st["tokens_emitted"] == 1 + 6 + 3, st
+        assert st["completed"] == 3
+        assert 0 < st["occupancy"] <= 1.0
+    finally:
+        pool.stop()
