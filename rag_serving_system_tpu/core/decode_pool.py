@@ -148,7 +148,8 @@ class DecodePool:
         dp = 1 if mesh is None else mesh.shape.get("data", 1)
         if dp > 1 and slots % dp != 0:
             raise ValueError(
-                f"DECODE_SLOTS={slots} must divide the mesh data axis {dp}")
+                f"DECODE_SLOTS={slots} must be a multiple of the mesh data "
+                f"axis {dp}")
         slot_ax = "data" if dp > 1 else None
         self.pool_k = _mk(lambda: jnp.zeros(shape, kv_dtype),
                           (None, slot_ax, None, None, None))
@@ -186,7 +187,8 @@ class DecodePool:
         self.steps = 0
         self.completed = 0
         self.inserted = 0
-        self.tokens_emitted = 0   # real (non-pad) tokens consumed from blocks
+        self.tokens_emitted = 0   # real tokens consumed from DECODE blocks
+        self.tokens_prefill = 0   # tok0 tokens (sampled by prefill dispatch)
         logger.info(
             "decode pool: %d slots x window %d, chunk %d (%s KV, %.0f MB)",
             slots, window, chunk, np.dtype(kv_dtype).name,
@@ -225,9 +227,11 @@ class DecodePool:
                 "steps": self.steps, "inserted": self.inserted,
                 "completed": self.completed,
                 "tokens_emitted": self.tokens_emitted,
-                # mean fraction of slot-steps that produced a real token —
-                # the quantity continuous batching improves vs the fixed
-                # path's pay-max(batch) padding (1.0 = no wasted slot-steps)
+                "tokens_prefill": self.tokens_prefill,
+                # mean fraction of DECODE slot-steps that produced a real
+                # token — the quantity continuous batching improves vs the
+                # fixed path's pay-max(batch) padding (1.0 = no waste);
+                # prefill-sampled tok0 tokens are excluded from both sides
                 "occupancy": round(self.tokens_emitted
                                    / max(1, self.steps * self.slots), 4),
                 "pending_submits": self._submit_q.qsize()}
@@ -337,16 +341,22 @@ class DecodePool:
 
     def _insert_batch(self, request_ids, staged, deliver, t0) -> None:
         engine = self.engine
-        if self._staged_kv_len(staged) + self.max_new_tokens > self.window:
+        # gate on the batch's own max budget, not the engine-wide cap: a
+        # long-prompt batch whose requests all carry small budgets still
+        # fits the per-slot ring invariant (each live slot advances at most
+        # its own budget-1 columns). Pad rows carry the cap but are born
+        # done (they never advance), so only the n valid rows count.
+        n_valid = staged[4]
+        batch_budget = int(max(staged[-1][1][:max(1, n_valid)]))
+        if self._staged_kv_len(staged) + batch_budget > self.window:
             # long-tail bucket the ring can't hold: run the FIXED path for
             # this batch (same staged tensors, same compiled programs the
             # standard warmup covers) — blocks the pool loop for one batch,
             # which is the honest cost of an undersized DECODE_WINDOW
             logger.warning(
-                "staged KV %d + max_new_tokens %d exceeds window %d; "
+                "staged KV %d + batch max budget %d exceeds window %d; "
                 "falling back to fixed decode for this batch",
-                self._staged_kv_len(staged), self.max_new_tokens,
-                self.window)
+                self._staged_kv_len(staged), batch_budget, self.window)
             handle = engine.generate_tokens(staged=staged)
             for rid, ans in zip(request_ids, engine.finalize_tokens(handle)):
                 deliver(rid, {"result": ans})
@@ -411,7 +421,8 @@ class DecodePool:
             slot_ids, snapshot, tok0 = self._tok0_pending.pop(0)
             t0_host = np.asarray(tok0)
             for i, m in snapshot.items():
-                self._note_token(slot_ids[i], m, int(t0_host[i]))
+                self._note_token(slot_ids[i], m, int(t0_host[i]),
+                                 from_prefill=True)
         while len(self._chunk_pending) > lag:
             toks_dev, snapshot = self._chunk_pending.pop(0)
             toks = np.asarray(toks_dev)                     # (chunk, S)
@@ -421,12 +432,19 @@ class DecodePool:
                     if m.open:
                         self._note_token(s, m, int(row[s]))
 
-    def _note_token(self, slot: int, m: _Slot, tok: int) -> None:
+    def _note_token(self, slot: int, m: _Slot, tok: int,
+                    from_prefill: bool = False) -> None:
         if not m.open:
             return
         if tok != self.cfg.pad_token_id and tok not in self.eos_ids:
             m.tokens.append(tok)
-            self.tokens_emitted += 1
+            # tok0 comes from the PREFILL dispatch, not a decode slot-step:
+            # it must not inflate the decode-occupancy numerator (whose
+            # denominator is steps * slots — decode-chunk slot-steps only)
+            if from_prefill:
+                self.tokens_prefill += 1
+            else:
+                self.tokens_emitted += 1
         done = (tok in self.eos_ids
                 or len(m.tokens) >= m.budget)
         # a pad emission means the device already deactivated this slot

@@ -868,7 +868,9 @@ class RagEngine:
 
         bud_host = tuple(_bud(p) if i < n else cap_mnt
                          for i, p in enumerate(padded))
-        bud = (self._put_batch(np.asarray(bud_host, np.int32)), bud_host)
+        # the (bsz,) device put is deferred past the packed/padded decision:
+        # the packed path stages its own (cap,) budget array and would
+        # discard this one (one dead tunnel put per packed batch otherwise)
 
         metas = None
         if (self.prefix_cache is not None
@@ -939,6 +941,7 @@ class RagEngine:
         mask[n:, -1] = 1  # keep pad rows well-defined
         # pad rows are born done so EOS early-exit fires on partial batches
         row_valid = np.arange(bsz) < n
+        bud = (self._put_batch(np.asarray(bud_host, np.int32)), bud_host)
         return ("padded", self._put_batch(ids), self._put_batch(mask),
                 self._put_batch(row_valid), n, metas, bud)
 

@@ -67,9 +67,15 @@ def get_httpfront_lib():
             # dlopen caches by inode, so an in-place rebuild could hand back
             # the stale mapping; a fresh inode guarantees a fresh load
             os.remove(path)
-            subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
-                           capture_output=True, check=True, timeout=120)
-            lib = ctypes.CDLL(path)
+            try:
+                subprocess.run(["bash", os.path.join(_DIR, "build.sh")],
+                               capture_output=True, check=True, timeout=120)
+                lib = ctypes.CDLL(path)
+            except Exception as e:
+                # no toolchain on this host: fall back to aiohttp-only
+                # rather than crashing startup on the rebuild attempt
+                logger.warning("native front rebuild failed: %s", e)
+                return None
             if (not hasattr(lib, "httpfront_abi_version")
                     or lib.httpfront_abi_version() != 2):
                 logger.warning("native front ABI still stale after rebuild")

@@ -406,9 +406,10 @@ def test_budget_aware_regrouping_partitions_by_budget():
 
 
 def test_pool_occupancy_stats(corpus):
-    """tokens_emitted / occupancy reflect real tokens only: with mixed
-    budgets the pool's occupancy stays high (slots free at their own
-    budget) while total emitted equals the sum of budgets."""
+    """tokens_emitted counts DECODE-step tokens only (each request's tok0
+    is sampled by the prefill dispatch and lands in tokens_prefill), so
+    occupancy's numerator matches its slot-step denominator; the two
+    counters together equal the sum of budgets."""
     eng = _engine(corpus, decode_mode="continuous")
     pool = eng.decode_pool
     pool.start()
@@ -419,8 +420,47 @@ def test_pool_occupancy_stats(corpus):
                     lambda rid, res: results.__setitem__(rid, res))
         assert pool.wait_idle(120.0)
         st = pool.stats()
-        assert st["tokens_emitted"] == 1 + 6 + 3, st
+        assert st["tokens_prefill"] == 3, st           # one tok0 per request
+        assert st["tokens_emitted"] == (1 - 1) + (6 - 1) + (3 - 1), st
+        assert st["tokens_emitted"] + st["tokens_prefill"] == 1 + 6 + 3
         assert st["completed"] == 3
         assert 0 < st["occupancy"] <= 1.0
+    finally:
+        pool.stop()
+
+
+def test_pool_window_gate_uses_batch_budget(corpus):
+    """The ring-overflow fallback gates on the BATCH's max budget, not the
+    engine cap: a window that can't hold prompt+cap but CAN hold
+    prompt+max(batch budgets) must stay on the pool path (review finding,
+    round 4). Pad rows carry the cap but are born done, so they don't
+    count either."""
+    # plen bucket 64; cap 6; window 68: 64+6 > 68 (old gate falls back)
+    # but 64+2 <= 68 (batch budget fits the per-slot ring invariant)
+    eng = _engine(corpus, decode_mode="continuous", decode_window=68,
+                  decode_slots=8)
+    pool = eng.decode_pool
+    fallbacks = []
+    orig = eng.generate_tokens
+    eng.generate_tokens = lambda *a, **k: (fallbacks.append(1),
+                                           orig(*a, **k))[1]
+    pool.start()
+    try:
+        results = {}
+        prompts = eng.prepare(QS, [2] * 3, budgets=[2, 2, 2])
+        pool.submit(["a", "b", "c"], prompts,
+                    lambda rid, res: results.__setitem__(rid, res))
+        assert pool.wait_idle(120.0)
+        assert not fallbacks, "batch-budget-fitting batch took fixed fallback"
+        want = _engine(corpus, max_new_tokens=2).process(QS, [2] * 3)
+        assert [results[r]["result"] for r in "abc"] == \
+            [w["result"] for w in want]
+        # and a batch whose budget genuinely overflows DOES fall back
+        prompts6 = eng.prepare(QS, [2] * 3, budgets=[6, 2, 2])
+        pool.submit(["d", "e", "f"], prompts6,
+                    lambda rid, res: results.__setitem__(rid, res))
+        assert pool.wait_idle(120.0)
+        assert fallbacks, "overflowing batch must take the fixed fallback"
+        assert all(r in results for r in "def")
     finally:
         pool.stop()
