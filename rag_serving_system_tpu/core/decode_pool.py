@@ -68,7 +68,13 @@ def _insert_rows(pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
     `budgets` ((B,) int32) is each row's OWN generation budget (per-request
     max_new_tokens): `remaining` counts down from it, so slots inserted in
     the same batch can free at different steps — continuous batching's
-    per-request granularity extends to the budget dimension."""
+    per-request granularity extends to the budget dimension.
+
+    All scatters use mode="drop": the host inserts a prefilled batch in
+    WAVES as slots free (rows not in this wave carry slot_id = S, out of
+    bounds, and write nothing) — so a 32-row batch starts decoding on
+    whatever slots exist instead of head-of-line blocking for all 32
+    (the Poisson A/B's occupancy-0.52 finding)."""
     w = valid.shape[1]
     t = rows_k.shape[2]
     shift = jnp.mod(cursor - t, w)
@@ -76,20 +82,22 @@ def _insert_rows(pool_k, pool_v, valid, last_tok, next_pos, active, remaining,
     rv = jnp.pad(rows_v, ((0, 0), (0, 0), (0, w - t), (0, 0), (0, 0)))
     rk = jnp.roll(rk, shift, axis=2)
     rv = jnp.roll(rv, shift, axis=2)
-    pool_k = pool_k.at[:, slot_ids].set(rk.astype(pool_k.dtype))
-    pool_v = pool_v.at[:, slot_ids].set(rv.astype(pool_v.dtype))
+    pool_k = pool_k.at[:, slot_ids].set(rk.astype(pool_k.dtype),
+                                        mode="drop")
+    pool_v = pool_v.at[:, slot_ids].set(rv.astype(pool_v.dtype),
+                                        mode="drop")
     vrow = jnp.roll(jnp.pad(mask.astype(bool), ((0, 0), (0, w - t))),
                     shift, axis=1)
     vrow = vrow & row_valid[:, None]
-    valid = valid.at[slot_ids].set(vrow)
+    valid = valid.at[slot_ids].set(vrow, mode="drop")
     n_real = jnp.sum(mask.astype(jnp.int32), axis=-1)
     live = (row_valid & (budgets > 1)
             & ~token_is_eos(tok0, eos_ids))
-    last_tok = last_tok.at[slot_ids].set(tok0)
-    next_pos = next_pos.at[slot_ids].set(n_real)
-    active = active.at[slot_ids].set(live)
+    last_tok = last_tok.at[slot_ids].set(tok0, mode="drop")
+    next_pos = next_pos.at[slot_ids].set(n_real, mode="drop")
+    active = active.at[slot_ids].set(live, mode="drop")
     remaining = remaining.at[slot_ids].set(
-        jnp.where(row_valid, budgets - 1, 0))
+        jnp.where(row_valid, budgets - 1, 0), mode="drop")
     return pool_k, pool_v, valid, last_tok, next_pos, active, remaining
 
 
@@ -103,6 +111,25 @@ class _Slot:
         self.open = True
         self.t0 = t0
         self.budget = budget   # this request's own max_new_tokens
+
+
+class _RowSet:
+    """A prefilled batch whose rows enter the pool in WAVES as slots free.
+    Device tensors (k/v/mask/tok0/budgets) stay batch-shaped; each wave is
+    one `_insert_rows` dispatch where rows outside the wave carry slot_id=S
+    (out of bounds → mode='drop' writes nothing). `tok0_host` memoizes the
+    (B,) transfer so multiple waves pay it once."""
+    __slots__ = ("k", "v", "mask", "tok0", "tok0_host", "bud_dev", "metas",
+                 "next", "n", "b")
+
+    def __init__(self, k, v, mask, tok0, bud_dev, metas, n):
+        self.k, self.v, self.mask, self.tok0 = k, v, mask, tok0
+        self.tok0_host = None
+        self.bud_dev = bud_dev
+        self.metas = metas       # row index -> _Slot, rows [0, n)
+        self.next = 0            # first not-yet-inserted row
+        self.n = n
+        self.b = mask.shape[0]
 
 
 class DecodePool:
@@ -171,9 +198,14 @@ class DecodePool:
 
         self._free = list(range(slots))
         self._meta: dict[int, _Slot] = {}
-        self._tok0_pending: list[tuple] = []   # (slot->_Slot snapshot, tok0_dev)
+        self._tok0_pending: list[tuple] = []   # (slot_by_row, snapshot, _RowSet)
         self._chunk_pending: list = []          # (tok_dev (chunk, S), snapshot)
-        self._pending_inserts: list = []        # staged submissions awaiting slots
+        self._pending_inserts: list = []        # staged submissions, pre-prefill
+        self._pending_rows: list[_RowSet] = []  # prefilled, awaiting slot waves
+        # how many prefilled row-sets may wait for slots (each holds a
+        # batch-shaped (L, B, T, Hk, D) k/v pair in HBM — bound it)
+        self._prefill_ahead = max(1, int(os.environ.get(
+            "DECODE_PREFILL_AHEAD", "1")))
         # bounded: `submit` blocks past this depth — the backpressure that
         # keeps stage-1 from staging unbounded device tensors ahead of the
         # pool (the fixed path gets the same from FINALIZE_DEPTH)
@@ -234,6 +266,8 @@ class DecodePool:
                 # prefill-sampled tok0 tokens are excluded from both sides
                 "occupancy": round(self.tokens_emitted
                                    / max(1, self.steps * self.slots), 4),
+                "pending_rows": sum(st.n - st.next
+                                    for st in self._pending_rows),
                 "pending_submits": self._submit_q.qsize()}
 
     def warm_insert(self, rows_k, mask) -> None:
@@ -276,7 +310,8 @@ class DecodePool:
                 lag = 1 if busy else 0
                 self._consume(lag)
                 if not (did or busy or self._chunk_pending
-                        or self._tok0_pending):
+                        or self._tok0_pending or self._pending_rows
+                        or self._pending_inserts):
                     if self._submit_q.empty():
                         self._idle.set()
                     time.sleep(poll)
@@ -291,10 +326,12 @@ class DecodePool:
             logger.exception("decode-pool drain error")
 
     def _drain_submissions(self) -> bool:
-        """Prefill + insert as many pending batches as free slots allow.
-        Submissions stage (tokenize + device put) eagerly, then wait in
-        FIFO order for enough free slots — decoding continues meanwhile,
-        and completions free the slots that unblock the head."""
+        """Stage, prefill, and wave-insert pending batches. Staging and
+        prefill run AHEAD of slot availability (bounded), so by the time
+        completions free slots the rows are sitting in HBM ready for a
+        cheap scatter; rows then enter in waves sized to whatever slots
+        exist — a 32-row batch never head-of-line blocks a half-empty pool
+        (the Poisson A/B's occupancy-0.52 finding)."""
         # pull at most a couple of submissions ahead into staged form —
         # pulling eagerly would defeat the bounded submit queue's
         # backpressure (staged tensors live on device until inserted)
@@ -311,22 +348,18 @@ class DecodePool:
                     continue
             self._pending_inserts.append((request_ids, staged, deliver, t0))
         did = False
-        while self._pending_inserts:
-            request_ids, staged, deliver, t0 = self._pending_inserts[0]
-            bsz = (staged[2].shape[0] if staged[0] == "packed"
-                   else staged[1].shape[0])
-            if bsz > len(self._free):
-                # head-of-line batch waits for completions to free slots;
-                # keep decoding (no reordering: FIFO fairness)
-                break
-            self._pending_inserts.pop(0)
+        while (self._pending_inserts
+               and len(self._pending_rows) < self._prefill_ahead):
+            request_ids, staged, deliver, t0 = self._pending_inserts.pop(0)
             try:
-                self._insert_batch(request_ids, staged, deliver, t0)
+                self._prefill_batch(request_ids, staged, deliver, t0)
                 did = True
             except Exception as e:
-                logger.exception("prefill/insert failed; failing batch")
+                logger.exception("prefill failed; failing batch")
                 for rid in request_ids:
                     deliver(rid, {"error": str(e), "status": "failed"})
+        while self._insert_wave():
+            did = True
         return did
 
     def _staged_kv_len(self, staged) -> int:
@@ -339,7 +372,7 @@ class DecodePool:
             t += self.engine.prefix_cache.pool_len
         return t
 
-    def _insert_batch(self, request_ids, staged, deliver, t0) -> None:
+    def _prefill_batch(self, request_ids, staged, deliver, t0) -> None:
         engine = self.engine
         # gate on the batch's own max budget, not the engine-wide cap: a
         # long-prompt batch whose requests all carry small budgets still
@@ -365,27 +398,50 @@ class DecodePool:
         self._rng, rng = jax.random.split(self._rng)
         tok0, k, v, mask, n = engine.prefill_rows(staged, rng)
         bud_dev, bud_host = staged[-1]
-        bsz = k.shape[1]
-        slot_ids = [self._free.pop() for _ in range(bsz)]
-        row_valid = np.arange(bsz) < n
+        metas = [_Slot(request_ids[i], deliver, t0, bud_host[i])
+                 for i in range(n)]
+        self._pending_rows.append(_RowSet(k, v, mask, tok0, bud_dev,
+                                          metas, n))
+
+    def _insert_wave(self) -> bool:
+        """Insert up to len(free) rows of the head prefilled row-set — one
+        drop-mode `_insert_rows` dispatch; rows outside the wave write
+        nothing (slot_id = S). Returns True if any row entered."""
+        if not self._pending_rows or not self._free:
+            return False
+        st = self._pending_rows[0]
+        take = min(len(self._free), st.n - st.next)
+        if take <= 0:
+            return False
+        slot_ids = np.full((st.b,), self.slots, np.int32)   # S = dropped
+        row_valid = np.zeros((st.b,), bool)
+        assigned = []
+        for r in range(st.next, st.next + take):
+            s = self._free.pop()
+            slot_ids[r] = s
+            row_valid[r] = True
+            assigned.append((r, s))
         (self.pool_k, self.pool_v, self.valid, self.last_tok, self.next_pos,
          self.active, self.remaining) = _insert_rows(
             self.pool_k, self.pool_v, self.valid, self.last_tok,
             self.next_pos, self.active, self.remaining,
-            k, v, mask, tok0, jnp.asarray(slot_ids, jnp.int32), self.cursor,
-            jnp.asarray(row_valid), bud_dev, self.eos_ids)
-        snapshot = {}
-        for i, s in enumerate(slot_ids):
-            if i < n:
-                m = _Slot(request_ids[i], deliver, t0, bud_host[i])
-                self._meta[s] = m
-                snapshot[i] = m
-            else:
-                self._free.append(s)   # pad row: slot returns immediately
+            st.k, st.v, st.mask, st.tok0, jnp.asarray(slot_ids), self.cursor,
+            jnp.asarray(row_valid), st.bud_dev, self.eos_ids)
         # snapshot binds row index -> _Slot OBJECT: by the time tok0 is
         # consumed, the slot id may already host a successor request
-        self._tok0_pending.append((slot_ids, snapshot, tok0))
-        self.inserted += n
+        snapshot = {}
+        slot_by_row = [0] * st.b
+        for r, s in assigned:
+            m = st.metas[r]
+            self._meta[s] = m
+            snapshot[r] = m
+            slot_by_row[r] = s
+        self._tok0_pending.append((slot_by_row, snapshot, st))
+        st.next += take
+        self.inserted += take
+        if st.next >= st.n:
+            self._pending_rows.pop(0)
+        return True
 
     def _dispatch_chunk(self) -> bool:
         """One decode_chunk dispatch when any slot might be live. The host's
@@ -418,10 +474,11 @@ class DecodePool:
         dispatched BEFORE its insert don't contain it — snapshots bind
         tokens to request objects, not slot ids)."""
         while self._tok0_pending:
-            slot_ids, snapshot, tok0 = self._tok0_pending.pop(0)
-            t0_host = np.asarray(tok0)
+            slot_by_row, snapshot, st = self._tok0_pending.pop(0)
+            if st.tok0_host is None:           # one (B,) transfer per batch,
+                st.tok0_host = np.asarray(st.tok0)   # shared by all waves
             for i, m in snapshot.items():
-                self._note_token(slot_ids[i], m, int(t0_host[i]),
+                self._note_token(slot_by_row[i], m, int(st.tok0_host[i]),
                                  from_prefill=True)
         while len(self._chunk_pending) > lag:
             toks_dev, snapshot = self._chunk_pending.pop(0)
@@ -477,6 +534,16 @@ class DecodePool:
                 pass
         self._tok0_pending.clear()
         self._chunk_pending.clear()
+        # prefilled-but-not-inserted rows fail too (rows < next live in
+        # _meta and were failed above)
+        rowsets, self._pending_rows = self._pending_rows, []
+        for st in rowsets:
+            for m in st.metas[st.next:]:
+                try:
+                    m.deliver(m.request_id, {"error": msg,
+                                             "status": "failed"})
+                except Exception:
+                    pass
         # staged-but-not-inserted and still-queued submissions must fail
         # too, or their clients hang until the request-poll TTL
         pending, self._pending_inserts = self._pending_inserts, []

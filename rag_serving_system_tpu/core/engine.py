@@ -454,12 +454,9 @@ class RagEngine:
             from rag_serving_system_tpu.core.decode_pool import DecodePool
 
             cap = self.batch_buckets[-1]
-            slots = settings.decode_slots or 2 * cap
-            if slots < cap:
-                logger.warning("DECODE_SLOTS=%d < largest batch bucket %d; "
-                               "raising (a full bucket must fit the pool)",
-                               slots, cap)
-                slots = cap
+            # slots may be SMALLER than a batch bucket: prefilled rows enter
+            # the pool in waves as slots free (decode_pool._insert_wave)
+            slots = max(1, settings.decode_slots or 2 * cap)
             dp = 1 if mesh is None else mesh.shape.get("data", 1)
             if slots % dp != 0:   # pad up so the slot axis dp-shards evenly
                 slots = -(-slots // dp) * dp

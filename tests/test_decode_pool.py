@@ -241,6 +241,33 @@ def test_pool_slot_starvation_and_reuse(corpus):
     pool.stop()
 
 
+def test_pool_wave_insert_smaller_than_batch(corpus):
+    """A pool SMALLER than the batch bucket: rows enter in waves as slots
+    free (drop-mode scatter), so a 4-row batch decodes on 2 slots — the
+    configuration batch-granular insert could never serve (it would wait
+    forever for 4 free slots). Greedy answers still match the fixed path
+    row-for-row, and a second submission queued behind it completes too."""
+    eng_c = _engine(corpus, "continuous", decode_slots=2)
+    eng_f = _engine(corpus, "fixed")
+    pool = eng_c.decode_pool
+    assert pool.slots == 2
+    pool.start()
+    results = {}
+    p1 = eng_c.prepare(QS, [2] * 4)
+    p2 = eng_c.prepare(QS[:2], [2] * 2)
+    pool.submit([f"a{i}" for i in range(4)], p1,
+                lambda rid, res: results.__setitem__(rid, res))
+    pool.submit(["b0", "b1"], p2,
+                lambda rid, res: results.__setitem__(rid, res))
+    assert pool.wait_idle(180.0)
+    want4 = eng_f.process(QS, [2] * 4)
+    want2 = eng_f.process(QS[:2], [2] * 2)
+    assert [results[f"a{i}"] for i in range(4)] == want4
+    assert [results[f"b{i}"] for i in range(2)] == want2
+    assert pool.inserted == 6 and pool.completed == 6
+    pool.stop()
+
+
 def test_pool_window_overflow_falls_back_to_fixed(corpus):
     """A staged bucket that cannot fit the ring (T + mnt > window) must run
     the fixed path transparently and still deliver correct results."""
