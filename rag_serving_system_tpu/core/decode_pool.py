@@ -12,10 +12,14 @@ JetStream's orchestration shape):
   start, so exactly TWO XLA programs run steady-state: `decode_chunk` (one
   shape, ever) and one insert program per prompt bucket.
 - Prompts prefill through the engine's EXISTING bucketed programs
-  (`prefill_for_pool` / packed variant), then scatter into free slots
-  right-aligned at the ring cursor. Each active slot emits one token per
-  pool step; finished slots free immediately and new requests take their
-  place WITHOUT waiting for the rest of a batch to drain.
+  (`prefill_for_pool` / packed variant) AHEAD of slot availability, then
+  scatter into free slots right-aligned at the ring cursor in WAVES sized
+  to whatever slots exist (drop-mode scatter: rows outside a wave carry an
+  out-of-bounds slot id and write nothing) — a batch never head-of-line
+  blocks a half-empty pool, and the pool may be smaller than a batch
+  bucket. Each active slot emits one token per pool step; finished slots
+  free immediately and new requests take their place WITHOUT waiting for
+  the rest of a batch to drain.
 - The worker thread dispatches `chunk` steps per XLA call and consumes the
   (chunk, S) token block one dispatch BEHIND (lag pipelining), so the device
   never idles on the ~26 ms axon-tunnel round trip.
