@@ -24,6 +24,12 @@ if [ ! -x benchmarks/loadgen_native ] || \
   g++ -O2 -std=c++17 -o benchmarks/loadgen_native benchmarks/loadgen_native.cc
 fi
 
+# REUSE=1 drives an already-running warmed server on FPORT (e.g. after a
+# prior invocation's health-wait expired but the server finished warming)
+if [ "${REUSE:-0}" = "1" ] && curl -sf "http://localhost:$FPORT/health" > /dev/null 2>&1; then
+  echo "[native-wall] reusing live server on :$FPORT"
+  SERVER_PID=""
+else
 echo "[native-wall] starting b128 + native-front server"
 MAX_BATCH_SIZE=128 BATCH_BUCKETS=32,128 \
 QUANT_WEIGHTS=int8 QUANT_ACT=int8 \
@@ -35,12 +41,16 @@ timeout "${SERVER_TIMEOUT:-10800}" python main.py \
 SERVER_PID=$!
 echo $SERVER_PID > /tmp/native_wall_server.pid
 
-for i in $(seq 1 240); do
+# b128 WARMUP_FULL warms a (batch x seq) matrix that can take ~30 min on a
+# cold XLA cache — wait up to 45 min, and reap the server if we give up
+for i in $(seq 1 540); do
   curl -sf "http://localhost:$FPORT/health" > /dev/null 2>&1 && break
   kill -0 $SERVER_PID 2>/dev/null || { echo "[native-wall] server died:"; tail -5 "$OUT_DIR/server.log"; exit 1; }
   sleep 5
 done
-curl -sf "http://localhost:$FPORT/health" > /dev/null || { echo "[native-wall] never healthy"; exit 1; }
+curl -sf "http://localhost:$FPORT/health" > /dev/null || {
+  echo "[native-wall] never healthy"; kill "$SERVER_PID" 2>/dev/null; exit 1; }
+fi
 echo "[native-wall] healthy; ladder $FROM..$TO step 5"
 
 [ -f "$CSV" ] || echo "pattern,rps,duration,total,success,fail,throughput,success_throughput,p50,p95,p99" > "$CSV"
@@ -83,8 +93,10 @@ PYEOF
   [ "${STOPPED[uniform]}" = "1" ] && [ "${STOPPED[random]}" = "1" ] && break
 done
 
-kill "$SERVER_PID" 2>/dev/null
-wait "$SERVER_PID" 2>/dev/null
+if [ -n "$SERVER_PID" ]; then
+  kill "$SERVER_PID" 2>/dev/null
+  wait "$SERVER_PID" 2>/dev/null
+fi
 
 python - "$OUT_DIR" "${MAXOK[uniform]}" "${MAXOK[random]}" <<'PYEOF'
 import csv, json, sys
