@@ -1,0 +1,93 @@
+#!/usr/bin/env bash
+# Close the results_refprotocol caveat ("wall-capped, not server-saturated"):
+# resume the reference-protocol ladder ABOVE the committed rung 390 and climb
+# at the reference's own granularity (+5, 60 s/rung, p99 >= 10 s gate) until
+# the gate actually fires, for both patterns. Appends to the committed CSVs
+# (uniform rows -> sweep_uniform.csv, random rows -> sweep.csv, same seed
+# convention as benchmarks/load_test.sh) and rewrites summary.json with the
+# measured saturation point.
+set -u
+cd "$(dirname "$0")/.."
+
+ENDPOINT="${ENDPOINT:-http://localhost:8010}"
+OUT_DIR="benchmarks/results_refprotocol"
+FROM_RPS="${FROM_RPS:-395}"
+TO_RPS="${TO_RPS:-700}"
+DURATION=60
+P99_GATE=10
+
+# self-waiting: usable under nohup before the server finishes warmup
+for i in $(seq 1 360); do
+  curl -sf "$ENDPOINT/health" > /dev/null 2>&1 && break
+  sleep 5
+done
+curl -sf "$ENDPOINT/health" > /dev/null || { echo "[probe] server never healthy"; exit 1; }
+echo "[probe] healthy; climbing $FROM_RPS..$TO_RPS step 5"
+
+declare -A STOPPED MAXOK P99MAX
+STOPPED[uniform]=0; STOPPED[random]=0
+MAXOK[uniform]=390; MAXOK[random]=390   # committed ladder's last clean rung
+P99MAX[uniform]=-1; P99MAX[random]=-1
+for RPS in $(seq "$FROM_RPS" 5 "$TO_RPS"); do
+  for PATTERN in uniform random; do
+    [ "${STOPPED[$PATTERN]}" = "1" ] && continue
+    BASE=10; CSV="$OUT_DIR/sweep_uniform.csv"
+    if [ "$PATTERN" = "random" ]; then BASE=210; CSV="$OUT_DIR/sweep.csv"; fi
+    SEED=$((BASE + RPS / 5 + 1))
+    OUT_JSON="$OUT_DIR/${PATTERN}_rps${RPS}.json"
+    echo "=== pattern=$PATTERN rps=$RPS seed=$SEED ==="
+    python benchmarks/load_generator.py \
+      --endpoint "$ENDPOINT" --pattern "$PATTERN" --rps "$RPS" \
+      --duration "$DURATION" --seed "$SEED" --timeout 60 \
+      --query-sample random --queries-file data/squad_real_queries.json \
+      --output "$OUT_JSON" || { echo "run failed"; STOPPED[$PATTERN]=1; continue; }
+    ROW=$(python - "$OUT_JSON" "$PATTERN" "$RPS" <<'PYEOF'
+import json, sys
+m = json.load(open(sys.argv[1])); lat = m.get("latency", {})
+print(",".join(str(x) for x in [
+    sys.argv[2], sys.argv[3], f"{m['duration_seconds']:.1f}",
+    m["total_requests"], m["successful_requests"], m["failed_requests"],
+    f"{m['throughput_rps']:.2f}", f"{m['successful_throughput_rps']:.2f}",
+    f"{lat.get('p50', -1):.3f}", f"{lat.get('p95', -1):.3f}",
+    f"{lat.get('p99', -1):.3f}"]))
+PYEOF
+)
+    echo "$ROW" >> "$CSV"
+    P99=${ROW##*,}
+    echo "p99=${P99}s"
+    P99MAX[$PATTERN]=$P99
+    if python -c "import sys; sys.exit(0 if 0 <= float('$P99') < $P99_GATE else 1)"; then
+      MAXOK[$PATTERN]=$RPS
+    else
+      echo "gate fired — stopping $PATTERN at $RPS"
+      STOPPED[$PATTERN]=1
+    fi
+  done
+  [ "${STOPPED[uniform]}" = "1" ] && [ "${STOPPED[random]}" = "1" ] && break
+done
+
+python - "$OUT_DIR" "${MAXOK[uniform]}" "${MAXOK[random]}" \
+  "${STOPPED[uniform]}" "${STOPPED[random]}" <<'PYEOF'
+import json, sys
+out = sys.argv[1]
+mu, mr = int(sys.argv[2]), int(sys.argv[3])
+gu, gr = sys.argv[4] == "1", sys.argv[5] == "1"
+s = json.load(open(f"{out}/summary.json"))
+s["patterns"]["uniform"].update(
+    max_sustainable_rps=mu, gate_fired=gu)
+s["patterns"]["random"].update(
+    max_sustainable_rps=mr, gate_fired=gr)
+s["wall_probe"] = {
+    "what": "continuation above the wall-capped rung 390 at the same "
+            "granularity (+5, 60 s/rung) until the p99>=10 s gate fired "
+            "(benchmarks/probe_wall.sh; fresh server, same env)",
+    "gate_fired": {"uniform": gu, "random": gr},
+}
+if gu and gr:
+    s["note"] = ("saturation measured: the gate fired for both patterns — "
+                 "max_sustainable_rps is the server's wall at reference "
+                 "granularity, no longer wall-budget-capped")
+json.dump(s, open(f"{out}/summary.json", "w"), indent=1)
+print(json.dumps(s["patterns"], indent=1))
+PYEOF
+echo "[probe] done: uniform max=${MAXOK[uniform]} random max=${MAXOK[random]}"
