@@ -24,8 +24,14 @@ done
 curl -sf "$ENDPOINT/health" > /dev/null || { echo "[probe] server never healthy"; exit 1; }
 echo "[probe] healthy; climbing $FROM_RPS..$TO_RPS step 5"
 
-declare -A STOPPED MAXOK P99MAX
+# STOPPED = this pattern's ladder is over (for any reason: gate, client abort,
+# metrics-extraction failure). GATE = the p99>=10 s criterion genuinely fired.
+# ABORTED records the rung at which a client-side failure ended the ladder, so
+# a saturation claim is never written off the back of a loadgen crash.
+declare -A STOPPED GATE ABORTED MAXOK P99MAX
 STOPPED[uniform]=0; STOPPED[random]=0
+GATE[uniform]=0;    GATE[random]=0
+ABORTED[uniform]=-1; ABORTED[random]=-1
 MAXOK[uniform]=390; MAXOK[random]=390   # committed ladder's last clean rung
 P99MAX[uniform]=-1; P99MAX[random]=-1
 for RPS in $(seq "$FROM_RPS" 5 "$TO_RPS"); do
@@ -40,7 +46,8 @@ for RPS in $(seq "$FROM_RPS" 5 "$TO_RPS"); do
       --endpoint "$ENDPOINT" --pattern "$PATTERN" --rps "$RPS" \
       --duration "$DURATION" --seed "$SEED" --timeout 60 \
       --query-sample random --queries-file data/squad_real_queries.json \
-      --output "$OUT_JSON" || { echo "run failed"; STOPPED[$PATTERN]=1; continue; }
+      --output "$OUT_JSON" \
+      || { echo "run failed (client-side)"; STOPPED[$PATTERN]=1; ABORTED[$PATTERN]=$RPS; continue; }
     ROW=$(python - "$OUT_JSON" "$PATTERN" "$RPS" <<'PYEOF'
 import json, sys
 m = json.load(open(sys.argv[1])); lat = m.get("latency", {})
@@ -52,6 +59,7 @@ print(",".join(str(x) for x in [
     f"{lat.get('p99', -1):.3f}"]))
 PYEOF
 )
+    [ -n "$ROW" ] || { echo "metrics extraction failed"; STOPPED[$PATTERN]=1; ABORTED[$PATTERN]=$RPS; continue; }
     echo "$ROW" >> "$CSV"
     P99=${ROW##*,}
     echo "p99=${P99}s"
@@ -61,32 +69,60 @@ PYEOF
     else
       echo "gate fired — stopping $PATTERN at $RPS"
       STOPPED[$PATTERN]=1
+      GATE[$PATTERN]=1
     fi
   done
   [ "${STOPPED[uniform]}" = "1" ] && [ "${STOPPED[random]}" = "1" ] && break
 done
 
 python - "$OUT_DIR" "${MAXOK[uniform]}" "${MAXOK[random]}" \
-  "${STOPPED[uniform]}" "${STOPPED[random]}" <<'PYEOF'
-import json, sys
+  "${GATE[uniform]}" "${GATE[random]}" \
+  "${ABORTED[uniform]}" "${ABORTED[random]}" <<'PYEOF'
+import glob, json, sys
 out = sys.argv[1]
 mu, mr = int(sys.argv[2]), int(sys.argv[3])
 gu, gr = sys.argv[4] == "1", sys.argv[5] == "1"
+au, ar = int(sys.argv[6]), int(sys.argv[7])
 s = json.load(open(f"{out}/summary.json"))
-s["patterns"]["uniform"].update(
-    max_sustainable_rps=mu, gate_fired=gu)
-s["patterns"]["random"].update(
-    max_sustainable_rps=mr, gate_fired=gr)
+for pat, mx, gate, aborted in (("uniform", mu, gu, au), ("random", mr, gr, ar)):
+    p = s["patterns"][pat]
+    p.update(max_sustainable_rps=mx, gate_fired=gate)
+    if aborted >= 0:
+        p["aborted_rps"] = aborted   # client-side failure, NOT saturation
+    # keep the per-pattern stats self-consistent with the new max rung:
+    # recompute rungs_run / failed_requests_total from the per-rung JSONs
+    # actually on disk (old ladder + this probe), not the pre-probe values
+    rungs = sorted(glob.glob(f"{out}/{pat}_rps*.json"))
+    if rungs:
+        p["rungs_run"] = len(rungs)
+        total_failed = 0
+        for rj in rungs:
+            try:
+                total_failed += json.load(open(rj)).get("failed_requests", 0)
+            except (OSError, ValueError):
+                pass
+        p["failed_requests_total"] = total_failed
+    try:
+        row = json.load(open(f"{out}/{pat}_rps{mx}.json"))
+        p["p99_at_max_s"] = row.get("latency", {}).get("p99")
+    except OSError:
+        p.pop("p99_at_max_s", None)
 s["wall_probe"] = {
     "what": "continuation above the wall-capped rung 390 at the same "
             "granularity (+5, 60 s/rung) until the p99>=10 s gate fired "
             "(benchmarks/probe_wall.sh; fresh server, same env)",
     "gate_fired": {"uniform": gu, "random": gr},
+    "aborted_rps": {"uniform": au if au >= 0 else None,
+                    "random": ar if ar >= 0 else None},
 }
 if gu and gr:
     s["note"] = ("saturation measured: the gate fired for both patterns — "
                  "max_sustainable_rps is the server's wall at reference "
                  "granularity, no longer wall-budget-capped")
+elif au >= 0 or ar >= 0:
+    s["note"] = ("probe ended on a client-side abort for at least one "
+                 "pattern; max_sustainable_rps is a lower bound, not a "
+                 "measured saturation point")
 json.dump(s, open(f"{out}/summary.json", "w"), indent=1)
 print(json.dumps(s["patterns"], indent=1))
 PYEOF
