@@ -22,7 +22,10 @@ def get_miniredis_path():
     toolchain is unavailable. Callers spawn it as a subprocess."""
     global _build_attempted
     path = os.path.join(_DIR, "miniredis")
-    if os.path.exists(path):
+    src = os.path.join(_DIR, "miniredis.cc")
+    stale = (os.path.exists(path) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(path))
+    if os.path.exists(path) and not stale:
         return path
     if not _build_attempted:
         _build_attempted = True

@@ -2,7 +2,9 @@
 // the command surface RedisRequestQueue speaks (request_queue.py:183-268):
 // RPUSH/LPOP/BLPOP/LLEN/LINDEX for the request list, GET/SET/SETEX/DEL with
 // expiry for result keys, plus PING/SELECT/CLIENT/EXPIRE/EXISTS/TTL/FLUSHALL
-// so stock clients (redis-py or utils/resp.py) connect cleanly.
+// so stock clients (redis-py or utils/resp.py) connect cleanly, and INFO
+// (used_memory/maxmemory) for observability. Memory is BOUNDED: see the
+// accounting block below (MINIREDIS_MAX_BYTES).
 //
 // Purpose: the reference's multi-replica mode assumes a Redis deployment
 // (reference main.py:35-49); this gives the split-role serving topology
@@ -69,6 +71,44 @@ static std::unordered_map<int, Conn> g_conns;
 static int g_epfd = -1;
 
 // ---------------------------------------------------------------------------
+// bounded memory: approximate byte accounting over strings + list items.
+// MINIREDIS_MAX_BYTES env (default 1 GiB, 0 = unlimited). Writes that would
+// exceed the cap first trigger an expired-key sweep, then get Redis's -OOM
+// ("noeviction" semantics — the queue producer sees backpressure, never a
+// silently growing server). Expired-but-unclaimed SETEX results are also
+// reaped by a periodic sweep (lazy expiry alone would leak them until read).
+// ---------------------------------------------------------------------------
+
+static size_t g_mem = 0;
+static size_t g_max_mem = (size_t)1 << 30;
+static double g_last_sweep = 0.0;
+
+static size_t sv_bytes(const std::string &key, const std::string &val) {
+  return key.size() + val.size() + 64;  // entry overhead approximation
+}
+static size_t item_bytes(const std::string &val) { return val.size() + 32; }
+
+static void sweep_expired() {
+  double now = now_s();
+  for (auto it = g_strings.begin(); it != g_strings.end();) {
+    if (it->second.expires_at > 0 && it->second.expires_at <= now) {
+      g_mem -= sv_bytes(it->first, it->second.data);
+      it = g_strings.erase(it);
+    } else {
+      ++it;
+    }
+  }
+  g_last_sweep = now;
+}
+
+// would adding `incoming` bytes exceed the cap (after trying a sweep)?
+static bool mem_reject(size_t incoming) {
+  if (g_max_mem == 0 || g_mem + incoming <= g_max_mem) return false;
+  sweep_expired();
+  return g_mem + incoming > g_max_mem;
+}
+
+// ---------------------------------------------------------------------------
 // RESP encoding
 // ---------------------------------------------------------------------------
 
@@ -77,6 +117,11 @@ static void reply_simple(Conn &c, const char *s) {
 }
 static void reply_error(Conn &c, const std::string &msg) {
   c.out += "-ERR " + msg + "\r\n";
+}
+static void reply_oom(Conn &c) {
+  // matches Redis's noeviction wire format ("-OOM ...", no ERR prefix) so
+  // redis-py raises its OutOfMemoryError subclass, not a generic error
+  c.out += "-OOM command not allowed when used memory > 'maxmemory'\r\n";
 }
 static void reply_int(Conn &c, long long v) {
   c.out += ':' + std::to_string(v) + "\r\n";
@@ -105,6 +150,7 @@ static StringVal *get_string(const std::string &key) {
   auto it = g_strings.find(key);
   if (it == g_strings.end()) return nullptr;
   if (it->second.expires_at > 0 && it->second.expires_at <= now_s()) {
+    g_mem -= sv_bytes(it->first, it->second.data);
     g_strings.erase(it);
     return nullptr;
   }
@@ -134,6 +180,7 @@ static void drain_waiters(const std::string &key) {
     Conn &c = cit->second;
     std::string val = lit->second.front();
     lit->second.pop_front();
+    g_mem -= item_bytes(val);
     reply_array_hdr(c, 2);
     reply_bulk(c, key);
     reply_bulk(c, val);
@@ -164,16 +211,29 @@ static void run_command(Conn &c, std::vector<std::string> &args) {
   if (cmd == "HELLO") { reply_error(c, "unknown command 'HELLO'"); return; }
   if (cmd == "ECHO" && n == 2) { reply_bulk(c, args[1]); return; }
   if (cmd == "FLUSHALL" || cmd == "FLUSHDB") {
-    g_strings.clear(); g_lists.clear(); reply_simple(c, "OK"); return;
+    g_strings.clear(); g_lists.clear(); g_mem = 0; reply_simple(c, "OK"); return;
+  }
+  if (cmd == "INFO") {
+    std::string s = "# Memory\r\nused_memory:" + std::to_string(g_mem) +
+                    "\r\nmaxmemory:" + std::to_string(g_max_mem) + "\r\n";
+    reply_bulk(c, s);
+    return;
   }
 
   if (cmd == "RPUSH" || cmd == "LPUSH") {
     if (n < 3) { reply_error(c, "wrong number of arguments"); return; }
+    size_t incoming = 0;
+    for (size_t i = 2; i < n; i++) incoming += item_bytes(args[i]);
+    if (mem_reject(incoming)) {
+      reply_oom(c);
+      return;
+    }
     auto &dq = g_lists[args[1]];
     for (size_t i = 2; i < n; i++) {
       if (cmd == "RPUSH") dq.push_back(args[i]);
       else dq.push_front(args[i]);
     }
+    g_mem += incoming;
     reply_int(c, (long long)dq.size());
     drain_waiters(args[1]);
     return;
@@ -185,6 +245,7 @@ static void run_command(Conn &c, std::vector<std::string> &args) {
     std::string v;
     if (cmd == "LPOP") { v = it->second.front(); it->second.pop_front(); }
     else { v = it->second.back(); it->second.pop_back(); }
+    g_mem -= item_bytes(v);
     if (it->second.empty()) g_lists.erase(it);
     reply_bulk(c, v);
     return;
@@ -195,6 +256,7 @@ static void run_command(Conn &c, std::vector<std::string> &args) {
     if (it != g_lists.end() && !it->second.empty()) {
       std::string v = it->second.front();
       it->second.pop_front();
+      g_mem -= item_bytes(v);
       if (it->second.empty()) g_lists.erase(it);
       reply_array_hdr(c, 2);
       reply_bulk(c, args[1]);
@@ -225,21 +287,31 @@ static void run_command(Conn &c, std::vector<std::string> &args) {
     return;
   }
 
-  if (cmd == "SET") {
-    if (n < 3) { reply_error(c, "wrong number of arguments"); return; }
-    StringVal v{args[2], 0.0};
-    for (size_t i = 3; i + 1 < n; i += 2) {
-      std::string o = upper(args[i]);
-      if (o == "EX") v.expires_at = now_s() + atof(args[i + 1].c_str());
-      else if (o == "PX") v.expires_at = now_s() + atof(args[i + 1].c_str()) / 1e3;
+  if (cmd == "SET" || cmd == "SETEX") {
+    if ((cmd == "SET" && n < 3) || (cmd == "SETEX" && n != 4)) {
+      reply_error(c, "wrong number of arguments");
+      return;
     }
+    StringVal v;
+    if (cmd == "SET") {
+      v = {args[2], 0.0};
+      for (size_t i = 3; i + 1 < n; i += 2) {
+        std::string o = upper(args[i]);
+        if (o == "EX") v.expires_at = now_s() + atof(args[i + 1].c_str());
+        else if (o == "PX") v.expires_at = now_s() + atof(args[i + 1].c_str()) / 1e3;
+      }
+    } else {
+      v = {args[3], now_s() + atof(args[2].c_str())};
+    }
+    auto old = g_strings.find(args[1]);
+    size_t old_b = old == g_strings.end() ? 0 : sv_bytes(old->first, old->second.data);
+    size_t new_b = sv_bytes(args[1], v.data);
+    if (new_b > old_b && mem_reject(new_b - old_b)) {
+      reply_oom(c);
+      return;
+    }
+    g_mem += new_b - old_b;
     g_strings[args[1]] = std::move(v);
-    reply_simple(c, "OK");
-    return;
-  }
-  if (cmd == "SETEX") {
-    if (n != 4) { reply_error(c, "wrong number of arguments"); return; }
-    g_strings[args[1]] = {args[3], now_s() + atof(args[2].c_str())};
     reply_simple(c, "OK");
     return;
   }
@@ -252,10 +324,18 @@ static void run_command(Conn &c, std::vector<std::string> &args) {
   if (cmd == "DEL" || cmd == "UNLINK") {
     long long cnt = 0;
     for (size_t i = 1; i < n; i++) {
-      cnt += get_string(args[i]) != nullptr;
-      g_strings.erase(args[i]);
+      StringVal *sv = get_string(args[i]);
+      if (sv) {
+        cnt++;
+        g_mem -= sv_bytes(args[i], sv->data);
+        g_strings.erase(args[i]);
+      }
       auto it = g_lists.find(args[i]);
-      if (it != g_lists.end()) { cnt++; g_lists.erase(it); }
+      if (it != g_lists.end()) {
+        cnt++;
+        for (auto &v : it->second) g_mem -= item_bytes(v);
+        g_lists.erase(it);
+      }
     }
     reply_int(c, cnt);
     return;
@@ -341,6 +421,9 @@ static void close_conn(int fd) {
 int main(int argc, char **argv) {
   int port = argc > 1 ? atoi(argv[1]) : 6379;
   signal(SIGPIPE, SIG_IGN);
+  if (const char *mm = getenv("MINIREDIS_MAX_BYTES")) {
+    g_max_mem = (size_t)strtoull(mm, nullptr, 10);
+  }
 
   int lfd = socket(AF_INET, SOCK_STREAM | SOCK_NONBLOCK, 0);
   int one = 1;
@@ -377,6 +460,10 @@ int main(int argc, char **argv) {
 
     int nev = epoll_wait(g_epfd, events.data(), (int)events.size(), timeout_ms);
     now = now_s();
+
+    // periodic reap of expired-but-unclaimed result keys (lazy expiry alone
+    // would hold them in memory for the whole process lifetime)
+    if (now - g_last_sweep > 2.0) sweep_expired();
 
     // time out expired BLPOP waiters with a null array
     for (auto wit = g_waiters.begin(); wit != g_waiters.end();) {

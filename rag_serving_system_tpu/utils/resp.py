@@ -267,6 +267,20 @@ class RespClient:
     def flushall(self):
         return self._execute("FLUSHALL")
 
+    def info(self) -> dict:
+        """Parse the INFO reply into a {field: value} dict (ints where
+        possible) — enough to read miniredis's used_memory/maxmemory."""
+        raw = self._execute("INFO")
+        out = {}
+        for line in (raw or b"").decode().splitlines():
+            if ":" in line and not line.startswith("#"):
+                k, _, v = line.partition(":")
+                try:
+                    out[k] = int(v)
+                except ValueError:
+                    out[k] = v
+        return out
+
     def pipeline(self) -> _Pipeline:
         return _Pipeline(self)
 

@@ -192,3 +192,76 @@ def test_batch_processor_end_to_end_over_miniredis(server):
             assert res is not None and res["result"] == f"ans:q{i}"
     finally:
         proc.stop()
+
+
+# ---------------------------------------------------------------------------
+# bounded memory (MINIREDIS_MAX_BYTES) + active TTL sweep
+# ---------------------------------------------------------------------------
+
+import os
+
+from rag_serving_system_tpu.utils.resp import RespError
+
+
+@pytest.fixture()
+def capped_server():
+    path = get_miniredis_path()
+    if path is None:
+        pytest.skip("no C++ toolchain to build miniredis")
+    port = _free_port()
+    env = dict(os.environ, MINIREDIS_MAX_BYTES="8192")
+    proc = subprocess.Popen([path, str(port)], stderr=subprocess.PIPE, env=env)
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        try:
+            socket.create_connection(("127.0.0.1", port), timeout=0.2).close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    else:
+        proc.kill()
+        pytest.fail("capped miniredis did not come up")
+    c = RespClient("127.0.0.1", port)
+    yield c
+    c.close()
+    proc.terminate()
+    proc.wait(timeout=5)
+
+
+def test_info_memory_accounting(client):
+    base = client.info()["used_memory"]
+    client.rpush("memq", "x" * 1000)
+    grown = client.info()["used_memory"]
+    assert grown >= base + 1000
+    client.lpop("memq")
+    assert client.info()["used_memory"] == base
+
+
+def test_oom_rejects_writes_and_recovers(capped_server):
+    c = capped_server
+    assert c.info()["maxmemory"] == 8192
+    # fill past the cap: each item ~1032 accounted bytes
+    with pytest.raises(RespError, match="OOM"):
+        for _ in range(20):
+            c.rpush("q", "y" * 1000)
+    # draining frees memory; writes work again (backpressure, not a wedge)
+    while c.lpop("q") is not None:
+        pass
+    assert c.rpush("q", "z" * 1000) == 1
+    # string writes are capped too
+    with pytest.raises(RespError, match="OOM"):
+        for i in range(20):
+            c.setex(f"rag_service:result:{i}", 3600, "r" * 1000)
+
+
+def test_expired_results_are_swept_without_access(capped_server):
+    """Unclaimed SETEX results must be reaped by the periodic sweep — lazy
+    expiry alone would hold them for the process lifetime (soak-test leak)."""
+    c = capped_server
+    base = c.info()["used_memory"]
+    for i in range(5):
+        c.setex(f"sweep:{i}", 1, "v" * 500)
+    assert c.info()["used_memory"] > base
+    time.sleep(3.5)  # ttl 1 s + sweep period 2 s
+    c.ping()         # any event-loop wakeup after the sweep window
+    assert c.info()["used_memory"] == base
