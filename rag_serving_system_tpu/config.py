@@ -96,6 +96,12 @@ class Settings:
     # greedy mode gives deterministic output for parity tests / debugging
     do_sample: bool = field(
         default_factory=lambda: _env("DO_SAMPLE", "1").lower() not in ("0", "false"))
+    # speculative decode draft length (greedy only; 0 = off): per decode
+    # iteration, SPEC_DECODE history-lookup drafts are verified in one
+    # multi-position forward — 1..gamma+1 tokens per decoder weight stream,
+    # bit-exact with the sequential greedy loop (models/qwen2.py
+    # _spec_decode_loop). Ignored when DO_SAMPLE is on.
+    spec_gamma: int = field(default_factory=lambda: int(_env("SPEC_DECODE", "0")))
     # retrieval: fixed compiled k (per-request k <= max_k sliced on host,
     # mirroring the reference's fixed-max_k trick, reference retriever.py:744-769)
     max_k: int = field(default_factory=lambda: int(_env("MAX_K", "16")))

@@ -164,10 +164,11 @@ def _packed_prefill_pool(params, cfg, stream, gather, last, rng,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_new_tokens", "max_seg_len", "do_sample", "dtype", "act_quant"))
+    "cfg", "max_new_tokens", "max_seg_len", "do_sample", "dtype", "act_quant",
+    "spec_gamma"))
 def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
                                 row_budget, max_new_tokens, max_seg_len,
-                                do_sample, dtype, act_quant):
+                                do_sample, dtype, act_quant, spec_gamma=0):
     """Derive the packed-layout masks from the compact host encoding and run
     generate_packed (one XLA program per (T, P) shape):
       stream (3, T) = [ids | seg | pos]; gather (B, P) with -1 = empty slot;
@@ -180,7 +181,7 @@ def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
         jnp.maximum(gather, 0), prompt_mask, rng,
         max_new_tokens=max_new_tokens, max_seg_len=max_seg_len,
         do_sample=do_sample, dtype=dtype, row_valid=row_valid,
-        act_quant=act_quant, row_budget=row_budget)
+        act_quant=act_quant, row_budget=row_budget, spec_gamma=spec_gamma)
 
 
 class RagEngine:
@@ -334,6 +335,12 @@ class RagEngine:
         # nearly free, and pinning collapses the compile matrix to the
         # packed-length buckets alone.
         self.packed = settings.packed_prefill and n_dev == 1
+        # speculative decode (SPEC_DECODE=gamma): greedy-only by design —
+        # sampling would need rejection resampling to stay distribution-true
+        self.spec_gamma = settings.spec_gamma if not settings.do_sample else 0
+        if self.spec_gamma:
+            logger.info("speculative decode on: gamma=%d (greedy verify, "
+                        "bit-exact)", self.spec_gamma)
         if self.packed:
             p_auto, mean_len = self._auto_packed_p(documents)
             self.packed_p = int(os.environ.get("PACKED_P", "0")) or p_auto
@@ -785,7 +792,8 @@ class RagEngine:
         return _packed_unpack_and_generate(
             self.dec_params, self.dec_cfg, stream, gather, last, rng,
             budgets, self.settings.max_new_tokens, self.packed_p,
-            self.settings.do_sample, self.dtype, self.act_quant)
+            self.settings.do_sample, self.dtype, self.act_quant,
+            spec_gamma=self.spec_gamma)
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
         """Tokenize a context prefix, memoized by cache key — rows sharing a
@@ -969,7 +977,7 @@ class RagEngine:
                         row_valid=row_valid,
                         act_quant=self.act_quant,
                         prefix_kv=prefix_kv, prefix_len=prefix_len,
-                        row_budget=bud[0])
+                        row_budget=bud[0], spec_gamma=self.spec_gamma)
         return toks, n
 
     def prefill_rows(self, staged, rng):
@@ -1251,7 +1259,8 @@ class RagEngine:
                  do_sample=self.settings.do_sample, dtype=self.dtype,
                  row_valid=jnp.ones((b,), bool), act_quant=self.act_quant,
                  row_budget=jnp.full((b,), self.settings.max_new_tokens,
-                                     jnp.int32))
+                                     jnp.int32),
+                 spec_gamma=self.spec_gamma)
 
     def _warm_prefix_compute(self, mb: int) -> None:
         """One prefix-miss compute+scatter program at miss-bucket mb."""
@@ -1448,4 +1457,5 @@ class RagEngine:
                  prefix_kv=prefix_kv,
                  prefix_len=jnp.zeros((b,), jnp.int32),
                  row_budget=jnp.full((b,), self.settings.max_new_tokens,
-                                     jnp.int32))
+                                     jnp.int32),
+                 spec_gamma=self.spec_gamma)

@@ -369,6 +369,217 @@ def decode_step(
     return logits, KVCache(k=new_k, v=new_v)
 
 
+def decode_step_spec(
+    params: dict,
+    cfg: DecoderConfig,
+    cache: KVCache,
+    toks: jax.Array,           # (B, S) int32: [last accepted token, S-1 drafts]
+    step0: jax.Array,          # (B,) int32: gen index of toks[:, 0] (0-based)
+    prompt_len: int,           # static P (cache slots before the gen region)
+    prompt_mask: jax.Array,    # (B, P) int32
+    dtype=jnp.bfloat16,
+) -> tuple[jax.Array, KVCache]:
+    """Multi-token decode step for speculative verification: one forward over
+    S consecutive positions per row against the KV cache. Returns
+    ((B, S, V) f32 logits — logits[:, j] predicts gen index step0+j+1 — and
+    the cache with all S tokens' KV written at per-row offsets).
+
+    Unlike `decode_step`, rows sit at DIFFERENT gen offsets (each row accepts
+    a different number of drafts per iteration), so cache writes are a scatter
+    at (layer, row, prompt_len + step0[b] + j) instead of one aligned
+    dynamic_update_slice. The attention bias is banded-causal within the
+    chunk: query j sees prompt-valid slots plus gen slots <= step0[b] + j
+    (slots past a row's frontier hold stale rejected-draft KV; the band mask
+    excludes them, and the next iteration's writes start at the new frontier,
+    which by construction covers every stale slot before it can be read).
+
+    Weight-streaming economics (the whole point): the S-token forward streams
+    the decoder weights from HBM ONCE — same traffic as a 1-token step — so
+    per-iteration cost is ~max(weight stream, S*B-token matmul compute), and
+    every accepted draft is a token that skipped its own weight stream
+    (PERFORMANCE.md "Decode-heavy regime": 1-token decode is at the
+    weight-streaming roofline, 3.3-3.5 ms/token on v5e)."""
+    b, s = toks.shape
+    t_max = cache.k.shape[2]
+    inv_freq = rope_freqs(cfg.head_dim, cfg.rope_theta)
+    n_real = jnp.sum(prompt_mask, axis=-1)                     # (B,)
+    gidx = step0[:, None] + jnp.arange(s)[None, :]             # (B, S)
+    positions = n_real[:, None] + gidx                         # (B, S)
+    tidx = prompt_len + gidx                                   # (B, S) slots
+
+    slot = jnp.arange(t_max - prompt_len)
+    gen_valid = slot[None, None, :] <= gidx[:, :, None]        # (B, S, Tg)
+    valid = jnp.concatenate(
+        [jnp.broadcast_to((prompt_mask > 0)[:, None, :], (b, s, prompt_len)),
+         gen_valid], axis=-1)
+    bias = jnp.where(valid, 0.0, NEG_INF)[:, None, :, :].astype(jnp.float32)
+
+    x = embed_lookup(params, toks, dtype)                      # (B, S, H)
+    batch_idx = jnp.arange(b)[:, None]                         # (B, 1)
+    n_layers = cache.k.shape[0]
+
+    def body(carry, xs_l):
+        x, K, V = carry
+        layer, li = xs_l
+        h = rms_norm(x, layer["ln1"], cfg.rms_norm_eps)
+        q, k, v = _qkv(layer, cfg, h, b, s)
+        q = apply_rope(q, positions, inv_freq)
+        k = apply_rope(k, positions, inv_freq)
+        # per-row-offset scatter (indices unique: one (li, b, t) per value);
+        # XLA scatters in place on the scan carry like dynamic_update_slice
+        K = K.at[li, batch_idx, tidx].set(k.astype(K.dtype),
+                                          unique_indices=True)
+        V = V.at[li, batch_idx, tidx].set(v.astype(V.dtype),
+                                          unique_indices=True)
+        ck = jax.lax.dynamic_slice_in_dim(K, li, 1, 0)[0]
+        cv = jax.lax.dynamic_slice_in_dim(V, li, 1, 0)[0]
+        a = attention(q, ck.astype(dtype), cv.astype(dtype), bias)
+        a = a.reshape(b, s, cfg.num_heads * cfg.head_dim)
+        x = x + dense(a, layer["o_w"])
+        h = rms_norm(x, layer["ln2"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+        return (x, K, V), None
+
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(n_layers)))
+
+    logits = logits_from_hidden(params, cfg, x)                # (B, S, V)
+    return logits, KVCache(k=new_k, v=new_v)
+
+
+def draft_ngram(
+    hist: jax.Array,        # (B, H) int32 token history (prompt ++ generated)
+    cur: jax.Array,         # (B,) int32: next free history index per row
+    gamma: int,
+    pad_id: int,
+) -> jax.Array:
+    """Prompt-lookup drafting (PLD), fully on-device: find the most recent
+    earlier occurrence of each row's last bigram in its history and propose
+    the gamma tokens that followed it; if none, propose the last token
+    repeated (catches single-token fixed points the bigram can't).
+
+    This is the self-speculative draft that needs NO auxiliary model: RAG
+    answers copy spans from the retrieved context (the prompt), and greedy
+    decoders that loop repeat their own history — both are n-gram-predictable.
+    Cost is one (B, H) comparison pass per iteration: noise next to a forward.
+    """
+    b, h = hist.shape
+    t1 = jnp.take_along_axis(hist, (cur - 2)[:, None], axis=1)   # (B, 1)
+    t2 = jnp.take_along_axis(hist, (cur - 1)[:, None], axis=1)
+    win = (hist[:, :-1] == t1) & (hist[:, 1:] == t2)             # (B, H-1)
+    pos_ok = jnp.arange(h - 1)[None, :] <= (cur - 3)[:, None]
+    cand = jnp.where(win & pos_ok, jnp.arange(h - 1)[None, :], -1)
+    pos = jnp.max(cand, axis=-1)                                 # (B,) latest
+    found = pos >= 0
+    cont = jnp.clip(pos[:, None] + 2 + jnp.arange(gamma)[None, :], 0, h - 1)
+    looked_up = jnp.take_along_axis(hist, cont, axis=1)          # (B, gamma)
+    return jnp.where(found[:, None], looked_up,
+                     jnp.broadcast_to(t2, (b, gamma))).astype(jnp.int32)
+
+
+def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
+                      max_new_tokens, gamma, dtype, row_valid, p,
+                      input_ids, row_budget=None):
+    """Greedy speculative decode over a prefilled cache: per iteration, draft
+    `gamma` tokens by history lookup (`draft_ngram`), verify them in ONE
+    multi-position forward (`decode_step_spec`), and emit the longest
+    matching prefix plus the bonus token — 1..gamma+1 tokens per weight
+    stream instead of exactly 1.
+
+    GREEDY ONLY and bit-exact by construction: position j's greedy argmax is
+    computed from the true model logits whenever drafts 0..j-1 matched, so
+    every emitted token equals what the sequential loop would emit
+    (tests/test_spec_decode.py pins exact equality against `_decode_loop`).
+    Sampling would need rejection resampling to preserve the distribution —
+    out of scope; the engine routes here only when do_sample is off.
+
+    Returns (out (B, max_new_tokens) int32, n_iters scalar int32). The
+    emitted-token semantics (EOS included then pad, per-row budgets, pad rows
+    born done, early exit when all rows finish) match `_decode_loop`.
+
+    `input_ids` (B, P_in) seeds the lookup history (with prefix-KV serving
+    this is just the suffix — the cached context's ids aren't available here;
+    self-repetition and suffix copying still draft well).
+    """
+    b = attention_mask.shape[0]
+    s = gamma + 1
+    eos_ids = eos_id_set(cfg)
+    pad = jnp.int32(cfg.pad_token_id)
+    mnt = max_new_tokens
+
+    budget = (jnp.clip(row_budget, 1, mnt) if row_budget is not None
+              else jnp.full((b,), mnt, jnp.int32))
+
+    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    if row_valid is not None:
+        tok0 = jnp.where(row_valid, tok0, pad)
+    done0 = token_is_eos(tok0, eos_ids) | (budget <= 1)
+    if row_valid is not None:
+        done0 = done0 | jnp.logical_not(row_valid)
+
+    # out has one spill column (masked writes land there); sliced off at exit
+    out0 = jnp.full((b, mnt + 1), cfg.pad_token_id, jnp.int32)
+    out0 = out0.at[:, 0].set(tok0)
+    if mnt == 1:
+        return out0[:, :mnt], jnp.int32(0)
+
+    # history = [prompt tokens (left-padded) | generated...], + spill column
+    p_in = input_ids.shape[1]
+    hlen = p_in + mnt + 1
+    hist0 = jnp.concatenate(
+        [input_ids.astype(jnp.int32),
+         jnp.full((b, mnt + 1), pad, jnp.int32)], axis=1)
+    hist0 = hist0.at[:, p_in].set(tok0)
+    cur0 = jnp.full((b,), p_in + 1, jnp.int32)   # next free history slot
+
+    batch_idx = jnp.arange(b)[:, None]
+    jarange = jnp.arange(s)[None, :]
+
+    def cond(carry):
+        it, _, _, done, _, _, _, _ = carry
+        return (it < mnt) & jnp.logical_not(jnp.all(done))
+
+    def body(carry):
+        it, last, gc, done, cache, hist, cur, out = carry
+        drafts = draft_ngram(hist, cur, gamma, cfg.pad_token_id)
+        chunk = jnp.concatenate([last[:, None], drafts], axis=1)   # (B, S)
+        logits, cache = decode_step_spec(
+            params, cfg, cache, chunk, gc - 1, p, attention_mask, dtype=dtype)
+        g = jnp.argmax(logits, axis=-1).astype(jnp.int32)          # (B, S)
+        # draft j (= chunk[:, j+1], gen index gc+j) is correct iff it equals
+        # the model's own greedy pick g[:, j]; accept the longest prefix
+        match = chunk[:, 1:] == g[:, :-1]                          # (B, S-1)
+        accept = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=-1),
+                         axis=-1)                                  # (B,)
+        e = g                                                      # emit cands
+        e_eos = token_is_eos(e, eos_ids)                           # (B, S)
+        eos_before = jnp.cumsum(e_eos.astype(jnp.int32), axis=-1) - \
+            e_eos.astype(jnp.int32)                                # exclusive
+        emit = ((~done)[:, None]
+                & (jarange <= accept[:, None])
+                & (jarange < (budget - gc)[:, None])
+                & (eos_before == 0))                               # (B, S)
+        n_emit = jnp.sum(emit.astype(jnp.int32), axis=-1)          # (B,)
+        col = jnp.where(emit, gc[:, None] + jarange, mnt)          # spill=mnt
+        out = out.at[batch_idx, col].set(jnp.where(emit, e, pad))
+        hcol = jnp.where(emit, cur[:, None] + jarange, hlen - 1)
+        hist = hist.at[batch_idx, hcol].set(jnp.where(emit, e, pad))
+        emitted_eos = jnp.any(emit & e_eos, axis=-1)
+        gc_new = gc + n_emit
+        done = done | emitted_eos | (gc_new >= budget)
+        last_idx = jnp.clip(n_emit - 1, 0, s - 1)
+        last_new = jnp.take_along_axis(e, last_idx[:, None], axis=1)[:, 0]
+        last = jnp.where(n_emit > 0, last_new, last)
+        cur = cur + n_emit
+        return (it + 1, last, gc_new, done, cache, hist, cur, out)
+
+    init = (jnp.int32(0), tok0, jnp.full((b,), 1, jnp.int32), done0,
+            cache, hist0, cur0, out0)
+    it, _, _, _, _, _, _, out = jax.lax.while_loop(cond, body, init)
+    return out[:, :mnt], it
+
+
 def sample_token(
     logits: jax.Array,   # (B, V) f32
     rng: jax.Array,
@@ -554,7 +765,8 @@ def prefill_packed(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "max_seg_len", "temperature",
-                     "top_k", "top_p", "do_sample", "dtype", "act_quant"),
+                     "top_k", "top_p", "do_sample", "dtype", "act_quant",
+                     "spec_gamma"),
 )
 def generate_packed(
     params: dict,
@@ -576,16 +788,30 @@ def generate_packed(
     row_valid: jax.Array | None = None,
     act_quant: bool = False,
     row_budget: jax.Array | None = None,  # (B,) per-row generation budget
+    spec_gamma: int = 0,                  # >0: speculative decode (greedy only)
 ) -> jax.Array:
     """Packed-prefill + standard decode. Same contract as `generate` (fixed
     (B, max_new_tokens) output, EOS early exit) with the prompt batch in
     packed layout; decode runs on the unpacked per-row cache, so everything
-    after the first token is byte-identical to the padded path."""
+    after the first token is byte-identical to the padded path (including
+    the `spec_gamma` speculative loop — its lookup history is the per-row
+    ids reconstructed from the packed stream via `gather_idx`)."""
+    use_spec = spec_gamma > 0 and not do_sample and max_new_tokens > 1
+    alloc = max_new_tokens + (spec_gamma if use_spec else 0)
     logits0, cache = prefill_packed(
         params, cfg, input_ids, seg, positions, last_idx, gather_idx,
-        prompt_mask, max_new_tokens, max_seg_len, dtype=dtype,
+        prompt_mask, alloc, max_seg_len, dtype=dtype,
         act_quant=act_quant)
     p = gather_idx.shape[1]
+    if use_spec:
+        row_ids = jnp.where(prompt_mask > 0,
+                            jnp.take(input_ids[0], gather_idx),
+                            jnp.int32(cfg.pad_token_id))
+        out, _ = _spec_decode_loop(params, cfg, logits0, cache, prompt_mask,
+                                   max_new_tokens, spec_gamma, dtype,
+                                   row_valid, p, row_ids,
+                                   row_budget=row_budget)
+        return out
     return _decode_loop(params, cfg, logits0, cache, prompt_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
                         dtype, row_valid, p, row_budget=row_budget)
@@ -784,7 +1010,7 @@ def decode_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
-                     "do_sample", "dtype", "act_quant"),
+                     "do_sample", "dtype", "act_quant", "spec_gamma"),
 )
 def generate(
     params: dict,
@@ -803,8 +1029,14 @@ def generate(
     prefix_kv: jax.Array | None = None,   # (B, L, 2, PL, Hk, D) cached ctx KV
     prefix_len: jax.Array | None = None,  # (B,) int32
     row_budget: jax.Array | None = None,  # (B,) int32 per-row token budget
+    spec_gamma: int = 0,                  # >0: speculative decode (greedy only)
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
+
+    `spec_gamma` > 0 switches the decode loop to greedy speculative decoding
+    (`_spec_decode_loop`: gamma history-lookup drafts verified per forward,
+    bit-exact with the sequential greedy loop). Requires do_sample=False —
+    sampling ignores the knob and keeps the 1-token loop.
 
     Fixed output shape (the XLA way): past-EOS positions are pad_token_id and
     the host strips them — but the loop EXITS as soon as every sequence in
@@ -818,8 +1050,12 @@ def generate(
     attends over the [prefix | suffix | generated] concatenated cache.
     """
     b, p = input_ids.shape
+    use_spec = spec_gamma > 0 and not do_sample and max_new_tokens > 1
+    # spec verification writes up to gamma slots past a row's final token —
+    # give the cache that headroom so scatter indices stay in bounds
+    alloc = max_new_tokens + (spec_gamma if use_spec else 0)
     logits0, cache = prefill(params, cfg, input_ids, attention_mask,
-                             max_new_tokens, dtype=dtype, act_quant=act_quant,
+                             alloc, dtype=dtype, act_quant=act_quant,
                              prefix_kv=prefix_kv, prefix_len=prefix_len)
     if prefix_kv is not None:
         # decode sees one combined "prompt" of length PL + P: the prefix part
@@ -835,6 +1071,12 @@ def generate(
     # declare SEVERAL (Qwen2.5: <|im_end|> AND <|endoftext|>); a row must
     # stop on any of them — missing one both defeats the early exit and
     # leaks post-EOS samples into the answer.
+    if use_spec:
+        out, _ = _spec_decode_loop(params, cfg, logits0, cache,
+                                   attention_mask, max_new_tokens, spec_gamma,
+                                   dtype, row_valid, p, input_ids,
+                                   row_budget=row_budget)
+        return out
     return _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
                         dtype, row_valid, p, row_budget=row_budget)
