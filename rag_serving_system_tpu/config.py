@@ -102,6 +102,12 @@ class Settings:
     # bit-exact with the sequential greedy loop (models/qwen2.py
     # _spec_decode_loop). Ignored when DO_SAMPLE is on.
     spec_gamma: int = field(default_factory=lambda: int(_env("SPEC_DECODE", "0")))
+    # EOS logit bias (workload-shaping knob, default 0 = off): positive
+    # values under sampling give geometric-ish completion lengths — the
+    # controlled completion-length variance the continuous-batching A/B
+    # needs, since random-init weights never emit EOS (models/qwen2.py
+    # bias_eos). Not a production knob.
+    eos_bias: float = field(default_factory=lambda: float(_env("EOS_BIAS", "0")))
     # retrieval: fixed compiled k (per-request k <= max_k sliced on host,
     # mirroring the reference's fixed-max_k trick, reference retriever.py:744-769)
     max_k: int = field(default_factory=lambda: int(_env("MAX_K", "16")))

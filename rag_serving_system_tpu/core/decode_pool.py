@@ -298,7 +298,8 @@ class DecodePool:
             self.engine.dec_params, self.cfg, self.pool_k, self.pool_v,
             self.valid, self.last_tok, self.next_pos, self.active,
             self.remaining, self.cursor, rng, chunk=self.chunk,
-            do_sample=s.do_sample, dtype=self.engine.dtype)
+            do_sample=s.do_sample, dtype=self.engine.dtype,
+            eos_bias=s.eos_bias)
 
     # -- worker ----------------------------------------------------------
 
@@ -461,7 +462,8 @@ class DecodePool:
             self.engine.dec_params, self.cfg, self.pool_k, self.pool_v,
             self.valid, self.last_tok, self.next_pos, self.active,
             self.remaining, self.cursor, rng, chunk=self.chunk,
-            do_sample=s.do_sample, dtype=self.engine.dtype)
+            do_sample=s.do_sample, dtype=self.engine.dtype,
+            eos_bias=s.eos_bias)
         # snapshot slot->_Slot at DISPATCH time: tokens in this block belong
         # to these request objects even if a slot is freed and reused before
         # the block is consumed (the successor's tokens ride later blocks)

@@ -147,9 +147,10 @@ def _encode_retrieve_compiled(params, cfg, ids, mask, corpus, k, use_pallas, dty
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "cfg", "max_seg_len", "do_sample", "dtype", "act_quant"))
+    "cfg", "max_seg_len", "do_sample", "dtype", "act_quant", "eos_bias"))
 def _packed_prefill_pool(params, cfg, stream, gather, last, rng,
-                         max_seg_len, do_sample, dtype, act_quant):
+                         max_seg_len, do_sample, dtype, act_quant,
+                         eos_bias=0.0):
     """Packed-prefill for the continuous decode pool: same compact host
     encoding as `_packed_unpack_and_generate`, but returns (tok0, k, v,
     prompt_mask) for slot insertion instead of running the fixed decode."""
@@ -160,15 +161,16 @@ def _packed_prefill_pool(params, cfg, stream, gather, last, rng,
         params, cfg, ids, seg, pos, jnp.maximum(last, 0),
         jnp.maximum(gather, 0), prompt_mask, rng, max_seg_len=max_seg_len,
         do_sample=do_sample, dtype=dtype, row_valid=row_valid,
-        act_quant=act_quant)
+        act_quant=act_quant, eos_bias=eos_bias)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "max_new_tokens", "max_seg_len", "do_sample", "dtype", "act_quant",
-    "spec_gamma"))
+    "spec_gamma", "eos_bias"))
 def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
                                 row_budget, max_new_tokens, max_seg_len,
-                                do_sample, dtype, act_quant, spec_gamma=0):
+                                do_sample, dtype, act_quant, spec_gamma=0,
+                                eos_bias=0.0):
     """Derive the packed-layout masks from the compact host encoding and run
     generate_packed (one XLA program per (T, P) shape):
       stream (3, T) = [ids | seg | pos]; gather (B, P) with -1 = empty slot;
@@ -181,7 +183,8 @@ def _packed_unpack_and_generate(params, cfg, stream, gather, last, rng,
         jnp.maximum(gather, 0), prompt_mask, rng,
         max_new_tokens=max_new_tokens, max_seg_len=max_seg_len,
         do_sample=do_sample, dtype=dtype, row_valid=row_valid,
-        act_quant=act_quant, row_budget=row_budget, spec_gamma=spec_gamma)
+        act_quant=act_quant, row_budget=row_budget, spec_gamma=spec_gamma,
+        eos_bias=eos_bias)
 
 
 class RagEngine:
@@ -793,7 +796,7 @@ class RagEngine:
             self.dec_params, self.dec_cfg, stream, gather, last, rng,
             budgets, self.settings.max_new_tokens, self.packed_p,
             self.settings.do_sample, self.dtype, self.act_quant,
-            spec_gamma=self.spec_gamma)
+            spec_gamma=self.spec_gamma, eos_bias=self.settings.eos_bias)
 
     def _prefix_tokens(self, key, prefix_text: str) -> list:
         """Tokenize a context prefix, memoized by cache key — rows sharing a
@@ -977,7 +980,8 @@ class RagEngine:
                         row_valid=row_valid,
                         act_quant=self.act_quant,
                         prefix_kv=prefix_kv, prefix_len=prefix_len,
-                        row_budget=bud[0], spec_gamma=self.spec_gamma)
+                        row_budget=bud[0], spec_gamma=self.spec_gamma,
+                        eos_bias=self.settings.eos_bias)
         return toks, n
 
     def prefill_rows(self, staged, rng):
@@ -992,7 +996,8 @@ class RagEngine:
             _, stream, gather, last, n, _bud = staged
             tok0, k, v, mask = _packed_prefill_pool(
                 self.dec_params, self.dec_cfg, stream, gather, last, rng,
-                self.packed_p, s.do_sample, self.dtype, self.act_quant)
+                self.packed_p, s.do_sample, self.dtype, self.act_quant,
+                eos_bias=s.eos_bias)
             return tok0, k, v, mask, n
         _, ids, mask, row_valid, n, metas, _bud = staged
         prefix_kv = prefix_len = None
@@ -1003,7 +1008,7 @@ class RagEngine:
             self.dec_params, self.dec_cfg, ids, mask, rng,
             do_sample=s.do_sample, dtype=self.dtype, row_valid=row_valid,
             act_quant=self.act_quant, prefix_kv=prefix_kv,
-            prefix_len=prefix_len)
+            prefix_len=prefix_len, eos_bias=s.eos_bias)
         return tok0, k, v, cmask, n
 
     def _resolve_prefixes(self, metas):
@@ -1260,7 +1265,8 @@ class RagEngine:
                  row_valid=jnp.ones((b,), bool), act_quant=self.act_quant,
                  row_budget=jnp.full((b,), self.settings.max_new_tokens,
                                      jnp.int32),
-                 spec_gamma=self.spec_gamma)
+                 spec_gamma=self.spec_gamma,
+                 eos_bias=self.settings.eos_bias)
 
     def _warm_prefix_compute(self, mb: int) -> None:
         """One prefix-miss compute+scatter program at miss-bucket mb."""
@@ -1399,7 +1405,8 @@ class RagEngine:
                          do_sample=self.settings.do_sample, dtype=self.dtype,
                          row_valid=jnp.ones((b,), bool),
                          act_quant=self.act_quant,
-                         prefix_kv=prefix_kv, prefix_len=prefix_len)
+                         prefix_kv=prefix_kv, prefix_len=prefix_len,
+                         eos_bias=self.settings.eos_bias)
 
     def _warm_pool_packed(self, t: int, rng) -> None:
         cap = self.batch_buckets[-1]
@@ -1409,7 +1416,7 @@ class RagEngine:
         _packed_prefill_pool(self.dec_params, self.dec_cfg, stream, gather,
                              last, rng, self.packed_p,
                              self.settings.do_sample, self.dtype,
-                             self.act_quant)
+                             self.act_quant, eos_bias=self.settings.eos_bias)
 
     def _warm_pool_state(self, batch_sizes, prompt_cap: int) -> None:
         """Serially compile the pool's insert program per reachable (b, T)
@@ -1458,4 +1465,5 @@ class RagEngine:
                  prefix_len=jnp.zeros((b,), jnp.int32),
                  row_budget=jnp.full((b,), self.settings.max_new_tokens,
                                      jnp.int32),
-                 spec_gamma=self.spec_gamma)
+                 spec_gamma=self.spec_gamma,
+                 eos_bias=self.settings.eos_bias)

@@ -480,7 +480,7 @@ def draft_ngram(
 
 def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
                       max_new_tokens, gamma, dtype, row_valid, p,
-                      input_ids, row_budget=None):
+                      input_ids, row_budget=None, eos_bias=0.0):
     """Greedy speculative decode over a prefilled cache: per iteration, draft
     `gamma` tokens by history lookup (`draft_ngram`), verify them in ONE
     multi-position forward (`decode_step_spec`), and emit the longest
@@ -511,7 +511,8 @@ def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
     budget = (jnp.clip(row_budget, 1, mnt) if row_budget is not None
               else jnp.full((b,), mnt, jnp.int32))
 
-    tok0 = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    tok0 = jnp.argmax(bias_eos(logits0, eos_ids, eos_bias),
+                      axis=-1).astype(jnp.int32)
     if row_valid is not None:
         tok0 = jnp.where(row_valid, tok0, pad)
     done0 = token_is_eos(tok0, eos_ids) | (budget <= 1)
@@ -546,6 +547,9 @@ def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
         chunk = jnp.concatenate([last[:, None], drafts], axis=1)   # (B, S)
         logits, cache = decode_step_spec(
             params, cfg, cache, chunk, gc - 1, p, attention_mask, dtype=dtype)
+        if eos_bias:
+            for e in eos_ids:
+                logits = logits.at[:, :, e].add(jnp.float32(eos_bias))
         g = jnp.argmax(logits, axis=-1).astype(jnp.int32)          # (B, S)
         # draft j (= chunk[:, j+1], gen index gc+j) is correct iff it equals
         # the model's own greedy pick g[:, j]; accept the longest prefix
@@ -626,8 +630,26 @@ def token_is_eos(tok: jax.Array, eos_ids: tuple) -> jax.Array:
     return hit
 
 
-def pick_token(logits, rng, do_sample, temperature=0.7, top_k=20, top_p=0.8):
+def bias_eos(logits, eos_ids: tuple, eos_bias: float):
+    """Add a constant to the stop-token logits (EOS_BIAS knob). Zero (the
+    default) is a no-op and compiles away. Purpose: controlled
+    completion-length variance for workload studies — random-init weights
+    essentially never emit EOS, so every row decodes to max_new_tokens and
+    the continuous-batching pool's reason to exist (rows finishing at
+    different lengths) can't be exercised; a positive bias under sampling
+    gives geometric-ish completion lengths whose mean the bias controls
+    (VERDICT r4 next-step #3)."""
+    if not eos_bias:
+        return logits
+    for e in eos_ids:
+        logits = logits.at[:, e].add(jnp.float32(eos_bias))
+    return logits
+
+
+def pick_token(logits, rng, do_sample, temperature=0.7, top_k=20, top_p=0.8,
+               eos_bias=0.0, eos_ids=()):
     """Shared next-token choice: Qwen2.5 default sampling or greedy."""
+    logits = bias_eos(logits, eos_ids, eos_bias)
     if do_sample:
         return sample_token(logits, rng, temperature, top_k, top_p)
     return jnp.argmax(logits, axis=-1)
@@ -635,7 +657,7 @@ def pick_token(logits, rng, do_sample, temperature=0.7, top_k=20, top_p=0.8):
 
 def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                  max_new_tokens, temperature, top_k, top_p, do_sample,
-                 dtype, row_valid, p, row_budget=None):
+                 dtype, row_valid, p, row_budget=None, eos_bias=0.0):
     """Shared sample + while_loop decode over a prefilled cache (see
     `generate` for semantics: EOS early exit, pad rows born done, fixed
     (B, max_new_tokens) output). `p` is the static combined prompt length
@@ -650,10 +672,11 @@ def _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
     budget); this is the fixed path's bounded version of the same feature."""
     b = attention_mask.shape[0]
 
-    def pick(logits, rng):
-        return pick_token(logits, rng, do_sample, temperature, top_k, top_p)
-
     eos_ids = eos_id_set(cfg)
+
+    def pick(logits, rng):
+        return pick_token(logits, rng, do_sample, temperature, top_k, top_p,
+                          eos_bias, eos_ids)
 
     def is_eos(tok):
         return token_is_eos(tok, eos_ids)
@@ -766,7 +789,7 @@ def prefill_packed(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "max_seg_len", "temperature",
                      "top_k", "top_p", "do_sample", "dtype", "act_quant",
-                     "spec_gamma"),
+                     "spec_gamma", "eos_bias"),
 )
 def generate_packed(
     params: dict,
@@ -789,6 +812,7 @@ def generate_packed(
     act_quant: bool = False,
     row_budget: jax.Array | None = None,  # (B,) per-row generation budget
     spec_gamma: int = 0,                  # >0: speculative decode (greedy only)
+    eos_bias: float = 0.0,
 ) -> jax.Array:
     """Packed-prefill + standard decode. Same contract as `generate` (fixed
     (B, max_new_tokens) output, EOS early exit) with the prompt batch in
@@ -810,17 +834,18 @@ def generate_packed(
         out, _ = _spec_decode_loop(params, cfg, logits0, cache, prompt_mask,
                                    max_new_tokens, spec_gamma, dtype,
                                    row_valid, p, row_ids,
-                                   row_budget=row_budget)
+                                   row_budget=row_budget, eos_bias=eos_bias)
         return out
     return _decode_loop(params, cfg, logits0, cache, prompt_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
-                        dtype, row_valid, p, row_budget=row_budget)
+                        dtype, row_valid, p, row_budget=row_budget,
+                        eos_bias=eos_bias)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "temperature", "top_k", "top_p", "do_sample",
-                     "dtype", "act_quant"),
+                     "dtype", "act_quant", "eos_bias"),
 )
 def prefill_for_pool(
     params: dict,
@@ -837,6 +862,7 @@ def prefill_for_pool(
     act_quant: bool = False,
     prefix_kv=None,
     prefix_len: jax.Array | None = None,
+    eos_bias: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Prefill + first-token sample for the continuous decode pool
     (core/decode_pool.py): the same prefill `generate` runs, but instead of
@@ -852,7 +878,7 @@ def prefill_for_pool(
                              act_quant=act_quant,
                              prefix_kv=prefix_kv, prefix_len=prefix_len)
     tok0 = pick_token(logits0, rng, do_sample, temperature, top_k,
-                      top_p).astype(jnp.int32)
+                      top_p, eos_bias, eos_id_set(cfg)).astype(jnp.int32)
     if row_valid is not None:
         tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
     if prefix_kv is not None:
@@ -867,7 +893,7 @@ def prefill_for_pool(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_seg_len", "temperature", "top_k", "top_p",
-                     "do_sample", "dtype", "act_quant"),
+                     "do_sample", "dtype", "act_quant", "eos_bias"),
 )
 def prefill_packed_for_pool(
     params: dict,
@@ -887,6 +913,7 @@ def prefill_packed_for_pool(
     dtype=jnp.bfloat16,
     row_valid: jax.Array | None = None,
     act_quant: bool = False,
+    eos_bias: float = 0.0,
 ) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Packed-prefill variant of `prefill_for_pool`: the cold-path packed
     stream prefills, unpacks into per-row KV, and hands rows to the pool.
@@ -896,7 +923,7 @@ def prefill_packed_for_pool(
         prompt_mask, max_new_tokens=0, max_seg_len=max_seg_len, dtype=dtype,
         act_quant=act_quant)
     tok0 = pick_token(logits0, rng, do_sample, temperature, top_k,
-                      top_p).astype(jnp.int32)
+                      top_p, eos_bias, eos_id_set(cfg)).astype(jnp.int32)
     if row_valid is not None:
         tok0 = jnp.where(row_valid, tok0, jnp.int32(cfg.pad_token_id))
     return tok0, cache.k, cache.v, prompt_mask
@@ -905,7 +932,7 @@ def prefill_packed_for_pool(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "chunk", "temperature", "top_k", "top_p",
-                     "do_sample", "dtype"),
+                     "do_sample", "dtype", "eos_bias"),
     donate_argnums=(2, 3, 4, 5, 6, 7, 8, 9),
 )
 def decode_chunk(
@@ -926,6 +953,7 @@ def decode_chunk(
     top_p: float = 0.8,
     do_sample: bool = True,
     dtype=jnp.bfloat16,
+    eos_bias: float = 0.0,
 ):
     """`chunk` continuous-batching decode steps over the slot pool — the
     TPU-shaped core of in-flight batching (vLLM's role, reimagined for XLA's
@@ -991,7 +1019,7 @@ def decode_chunk(
             (params["layers"], jnp.arange(n_layers)))
         logits = logits_from_hidden(params, cfg, x[:, 0, :])
         tok = pick_token(logits, step_rng, do_sample, temperature, top_k,
-                         top_p).astype(jnp.int32)
+                         top_p, eos_bias, eos_ids).astype(jnp.int32)
         tok = jnp.where(active, tok, jnp.int32(cfg.pad_token_id))
         next_pos = next_pos + active.astype(jnp.int32)
         remaining = remaining - active.astype(jnp.int32)
@@ -1010,7 +1038,8 @@ def decode_chunk(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "temperature", "top_k", "top_p",
-                     "do_sample", "dtype", "act_quant", "spec_gamma"),
+                     "do_sample", "dtype", "act_quant", "spec_gamma",
+                     "eos_bias"),
 )
 def generate(
     params: dict,
@@ -1030,6 +1059,7 @@ def generate(
     prefix_len: jax.Array | None = None,  # (B,) int32
     row_budget: jax.Array | None = None,  # (B,) int32 per-row token budget
     spec_gamma: int = 0,                  # >0: speculative decode (greedy only)
+    eos_bias: float = 0.0,                # EOS logit bias (see bias_eos)
 ) -> jax.Array:
     """Prefill + while_loop decode. Returns (B, max_new_tokens) int32 ids.
 
@@ -1075,8 +1105,9 @@ def generate(
         out, _ = _spec_decode_loop(params, cfg, logits0, cache,
                                    attention_mask, max_new_tokens, spec_gamma,
                                    dtype, row_valid, p, input_ids,
-                                   row_budget=row_budget)
+                                   row_budget=row_budget, eos_bias=eos_bias)
         return out
     return _decode_loop(params, cfg, logits0, cache, attention_mask, rng,
                         max_new_tokens, temperature, top_k, top_p, do_sample,
-                        dtype, row_valid, p, row_budget=row_budget)
+                        dtype, row_valid, p, row_budget=row_budget,
+                        eos_bias=eos_bias)
