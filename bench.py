@@ -280,6 +280,13 @@ def main() -> None:
                   # differ (per-request delivery, no batch-drain wait)
                   + ("_cont" if getattr(engine, "decode_pool", None)
                      is not None else "")
+                  # decode-mode A/B markers: greedy (DO_SAMPLE=0) is its own
+                  # regime (deterministic, spec-eligible); _specN records the
+                  # speculative arm; _ebX the EOS-bias length-variance arm
+                  + ("_greedy" if not settings.do_sample else "")
+                  + (f"_spec{engine.spec_gamma}" if engine.spec_gamma else "")
+                  + ((f"_eb{settings.eos_bias:g}").replace(".", "p")
+                     if settings.eos_bias else "")
                   + ("_noprefix" if engine.prefix_cache is None else "")
                   # packed prefill is the default; the padded-prefill A/B
                   # variant records under its own key
