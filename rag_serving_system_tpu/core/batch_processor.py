@@ -204,9 +204,12 @@ class BatchProcessor(threading.Thread):
                     "continuous" if pool is not None else "fixed")
         ready = self._ready
         if self.prefetch:
+            self._prefetchers = []
             for _ in range(self.prefetch_workers):
-                threading.Thread(target=self._prefetch_loop, args=(ready,),
-                                 daemon=True).start()
+                t = threading.Thread(target=self._prefetch_loop, args=(ready,),
+                                     daemon=True)
+                t.start()
+                self._prefetchers.append(t)
             if self.finalize_async:
                 self._finalizer = threading.Thread(
                     target=self._finalize_loop, daemon=True)
@@ -381,6 +384,12 @@ class BatchProcessor(threading.Thread):
         while (time.time() < deadline
                and self._finalize_q.unfinished_tasks > 0):
             time.sleep(0.02)
+        # join the stage-1 workers so callers can tear down whatever backs
+        # the request queue (e.g. a test's miniredis) without the workers'
+        # final BLPOP hitting a dead socket (they poll with a 0.1 s timeout,
+        # so this bounds at ~one poll interval per worker)
+        for t in getattr(self, "_prefetchers", []):
+            t.join(timeout=2.0)
         # run() flushes the deferred batch on exit; if the thread was never
         # started (or already dead), deliver it here so nothing is lost
         if not self.is_alive():
