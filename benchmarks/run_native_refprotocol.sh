@@ -129,12 +129,20 @@ pats = {}
 for pat, mx, gate in (("uniform", mu, gu), ("random", mr, gr)):
     rungs = glob.glob(f"{out}/{pat}_rps*.json")
     failed = 0
-    for rj in rungs:
+    clean = 0   # honest wall: the p99 gate ignores failed requests (the
+    for rj in rungs:  # reference's blind spot — see ANALYSIS_uniform_vs_random.md)
         try:
-            failed += json.load(open(rj)).get("failed_requests", 0)
+            m = json.load(open(rj))
+            failed += m.get("failed_requests", 0)
+            r = int(rj.rsplit("rps", 1)[1].split(".")[0])
+            p99 = m.get("latency", {}).get("p99", -1)
+            if (m.get("failed_requests", 1) == 0 and p99 is not None
+                    and 0 <= p99 < 10 and r > clean):
+                clean = r
         except Exception:
             pass
     entry = {"rungs_run": len(rungs), "max_sustainable_rps": mx,
+             "clean_max_sustainable_rps": clean,
              "gate_fired": gate, "failed_requests_total": failed}
     try:
         row = json.load(open(f"{out}/{pat}_rps{mx}.json"))
