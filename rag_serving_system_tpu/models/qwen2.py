@@ -462,17 +462,35 @@ def draft_ngram(
     This is the self-speculative draft that needs NO auxiliary model: RAG
     answers copy spans from the retrieved context (the prompt), and greedy
     decoders that loop repeat their own history — both are n-gram-predictable.
-    Cost is one (B, H) comparison pass per iteration: noise next to a forward.
+    Longest-match ladder: a trigram match (more specific → fewer false
+    continuations) wins over a bigram match, which wins over the repeat
+    fallback. Cost is two (B, H) comparison passes per iteration: noise
+    next to a forward.
     """
     b, h = hist.shape
+    idx = jnp.arange(h - 1)[None, :]
+    t0 = jnp.take_along_axis(hist, jnp.maximum(cur - 3, 0)[:, None], axis=1)
     t1 = jnp.take_along_axis(hist, (cur - 2)[:, None], axis=1)   # (B, 1)
     t2 = jnp.take_along_axis(hist, (cur - 1)[:, None], axis=1)
-    win = (hist[:, :-1] == t1) & (hist[:, 1:] == t2)             # (B, H-1)
-    pos_ok = jnp.arange(h - 1)[None, :] <= (cur - 3)[:, None]
-    cand = jnp.where(win & pos_ok, jnp.arange(h - 1)[None, :], -1)
-    pos = jnp.max(cand, axis=-1)                                 # (B,) latest
-    found = pos >= 0
-    cont = jnp.clip(pos[:, None] + 2 + jnp.arange(gamma)[None, :], 0, h - 1)
+
+    # bigram [t1 t2] at window i (tokens i, i+1), continuation from i+2;
+    # i <= cur-3 excludes the current occurrence itself
+    win2 = (hist[:, :-1] == t1) & (hist[:, 1:] == t2)
+    pos2 = jnp.max(jnp.where(win2 & (idx <= (cur - 3)[:, None]), idx, -1),
+                   axis=-1)                                      # (B,) latest
+    # trigram [t0 t1 t2] at window i (tokens i..i+2), continuation from i+3;
+    # i <= cur-4 excludes the current occurrence; rows with <3 tokens of
+    # history can't spuriously win (their t0 index clamps onto the bigram's
+    # own region, which the position bound excludes)
+    win3 = (hist[:, :-2] == t0) & (hist[:, 1:-1] == t1) & (hist[:, 2:] == t2)
+    idx3 = jnp.arange(h - 2)[None, :]
+    pos3 = jnp.max(jnp.where(win3 & (idx3 <= (cur - 4)[:, None]), idx3, -1),
+                   axis=-1)
+
+    use3 = pos3 >= 0
+    start = jnp.where(use3, pos3 + 3, pos2 + 2)   # continuation start index
+    found = use3 | (pos2 >= 0)
+    cont = jnp.clip(start[:, None] + jnp.arange(gamma)[None, :], 0, h - 1)
     looked_up = jnp.take_along_axis(hist, cont, axis=1)          # (B, gamma)
     return jnp.where(found[:, None], looked_up,
                      jnp.broadcast_to(t2, (b, gamma))).astype(jnp.int32)

@@ -249,3 +249,24 @@ def test_engine_spec_ignored_when_sampling():
                  do_sample=True, prefix_cache=False, packed_prefill=False,
                  spec_gamma=4)
     assert RagEngine(s, docs, emb).spec_gamma == 0
+
+
+def test_draft_ngram_trigram_beats_bigram():
+    """Longest-match ladder: when both a trigram and a (different,
+    more recent) bigram occurrence exist, the trigram's continuation wins."""
+    #        0  1  2  3  4  5  6  7  8  9 10  (cur=11; last 3 = [5, 1, 2])
+    hist = jnp.asarray([[5, 1, 2, 9, 9, 1, 2, 7, 5, 1, 2, 0, 0]], jnp.int32)
+    cur = jnp.asarray([11], jnp.int32)
+    # bigram [1,2] latest earlier at 5,6 → continuation 7
+    # trigram [5,1,2] at 0..2 → continuation 9 — must win
+    d = np.asarray(draft_ngram(hist, cur, 1, pad_id=0))
+    np.testing.assert_array_equal(d, [[9]])
+
+
+def test_draft_ngram_trigram_excludes_own_occurrence():
+    # only the current trigram occurrence exists → falls to bigram/none
+    hist = jnp.asarray([[4, 1, 2, 3, 0, 0]], jnp.int32)  # cur=4, last3=[1,2,3]
+    cur = jnp.asarray([4], jnp.int32)
+    d = np.asarray(draft_ngram(hist, cur, 2, pad_id=0))
+    # no earlier trigram or bigram [2,3] → repeat-last fallback
+    np.testing.assert_array_equal(d, [[3, 3]])
