@@ -408,3 +408,98 @@ def test_stats_reset_on_restart():
                      "bad_requests": 0, "inflight": 0, "port": nf2.port}
     finally:
         nf2.stop()
+
+
+# ---------------------------------------------------------------------------
+# protocol fuzz: the C++ parser must never crash, hang, or wedge the front
+# on hostile input — every case ends with the front still serving /health
+# ---------------------------------------------------------------------------
+
+import socket as _socket
+
+
+def _raw(port, payload: bytes, read_timeout=2.0) -> bytes:
+    s = _socket.create_connection(("127.0.0.1", port), timeout=read_timeout)
+    try:
+        s.sendall(payload)
+        s.settimeout(read_timeout)
+        chunks = []
+        try:
+            while True:
+                b = s.recv(4096)
+                if not b:
+                    break
+                chunks.append(b)
+        except _socket.timeout:
+            pass
+        return b"".join(chunks)
+    finally:
+        s.close()
+
+
+def _healthy(port) -> bool:
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=2)
+    try:
+        conn.request("GET", "/health")
+        return conn.getresponse().status == 200
+    finally:
+        conn.close()
+
+
+FUZZ_CASES = [
+    b"",                                           # connect-then-close
+    b"\r\n\r\n",
+    b"GARBAGE NOT HTTP\r\n\r\n",
+    b"GET\r\n\r\n",                                # no path/version
+    b"POST /rag HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+    b"POST /rag HTTP/1.1\r\nContent-Length: abc\r\n\r\n{}",
+    b"POST /rag HTTP/1.1\r\nContent-Length: 4\r\n\r\n{\"q",  # truncated body
+    b"POST /rag HTTP/1.1\r\n\r\n" + b"A" * 100_000,          # no length, junk
+    b"GET /rag/result/" + b"x" * 9000 + b" HTTP/1.1\r\n\r\n",  # huge path
+    b"GET / HTTP/1.1\r\n" + b"X-H: y\r\n" * 5000 + b"\r\n",    # header flood
+    b"POST /rag HTTP/1.0\r\nContent-Length: 26\r\n\r\n{\"query\": \"a\", \"k\": 1}\x00\x00\x00",
+    "POST /rag HTTP/1.1\r\nContent-Length: 21\r\n\r\n{\"query\": \"éé\"}".encode(),
+]
+
+
+def test_fuzz_malformed_requests_never_wedge_the_front(front):
+    port, _, _, _ = front
+    for case in FUZZ_CASES:
+        _raw(port, case)
+        assert _healthy(port), f"front wedged after {case[:40]!r}"
+
+
+def test_fuzz_pipelined_and_split_writes(front):
+    port, _, _, _ = front
+    # two pipelined POSTs in one segment
+    body = b'{"query": "pipe", "k": 1}'
+    one = (b"POST /rag?wait=5 HTTP/1.1\r\nContent-Type: application/json\r\n"
+           + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body)
+    out = _raw(port, one + one, read_timeout=8.0)
+    assert out.count(b"HTTP/1.1 200") == 2
+    # byte-at-a-time trickle of a single valid request
+    s = _socket.create_connection(("127.0.0.1", port), timeout=10)
+    try:
+        for i in range(0, len(one), 7):
+            s.sendall(one[i:i + 7])
+            time.sleep(0.001)
+        s.settimeout(8.0)
+        resp = s.recv(65536)
+        assert b"200" in resp and b"ans:pipe" in resp
+    finally:
+        s.close()
+    assert _healthy(port)
+
+
+def test_fuzz_slowloris_does_not_block_other_clients(front):
+    port, _, _, _ = front
+    # a client that opens a request and never finishes the headers must not
+    # stop other clients from being served (single-threaded epoll loop)
+    s = _socket.create_connection(("127.0.0.1", port), timeout=5)
+    try:
+        s.sendall(b"POST /rag HTTP/1.1\r\nContent-Le")
+        for _ in range(5):
+            assert _healthy(port)
+            time.sleep(0.05)
+    finally:
+        s.close()
