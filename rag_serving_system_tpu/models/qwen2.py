@@ -498,7 +498,8 @@ def draft_ngram(
 
 def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
                       max_new_tokens, gamma, dtype, row_valid, p,
-                      input_ids, row_budget=None, eos_bias=0.0):
+                      input_ids, row_budget=None, eos_bias=0.0,
+                      draft_source=None):
     """Greedy speculative decode over a prefilled cache: per iteration, draft
     `gamma` tokens by history lookup (`draft_ngram`), verify them in ONE
     multi-position forward (`decode_step_spec`), and emit the longest
@@ -561,7 +562,17 @@ def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
 
     def body(carry):
         it, last, gc, done, cache, hist, cur, out = carry
-        drafts = draft_ngram(hist, cur, gamma, cfg.pad_token_id)
+        if draft_source is not None:
+            # measurement mode: draft gen indices gc..gc+gamma-1 straight
+            # from a provided (B, >=mnt+gamma) token array — used to measure
+            # the acceptance→speedup curve on silicon with CONTROLLED draft
+            # quality (scripts/profile_spec_decode.py), independent of what
+            # the n-gram drafter can find in a given workload
+            didx = jnp.clip(gc[:, None] + jnp.arange(gamma)[None, :],
+                            0, draft_source.shape[1] - 1)
+            drafts = jnp.take_along_axis(draft_source, didx, axis=1)
+        else:
+            drafts = draft_ngram(hist, cur, gamma, cfg.pad_token_id)
         chunk = jnp.concatenate([last[:, None], drafts], axis=1)   # (B, S)
         logits, cache = decode_step_spec(
             params, cfg, cache, chunk, gc - 1, p, attention_mask, dtype=dtype)

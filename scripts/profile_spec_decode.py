@@ -1,25 +1,28 @@
-"""On-chip A/B of speculative vs sequential greedy decode (full-size model).
+"""On-chip A/B + mechanics study of speculative vs sequential greedy decode.
 
-Measures, at the decode-heavy bench row's shape (B=32, prompt 512,
-max_new_tokens=64, int8 weights — the `mnt64` regime where sequential decode
-sits at the weight-streaming roofline, PERFORMANCE.md "Decode-heavy regime"):
+Arms, at the decode-heavy shape (default B=32, prompt 512, mnt=64, int8
+weights — the `mnt64` regime where sequential decode sits at the
+weight-streaming roofline):
 
-  base      — generate(do_sample=False), the 1-token-per-weight-stream loop
-  spec g=N  — generate(spec_gamma=N): N history-lookup drafts verified per
-              multi-position forward (models/qwen2.py _spec_decode_loop)
-  accept    — verify iterations + implied tokens/iteration from
-              _spec_decode_loop's counter (the honesty metric: speedup
-              claims are only as good as the acceptance the workload gives)
+  prefill      — generate(mnt=1): prefill + one step (subtracted from the
+                 other arms to isolate decode cost)
+  base         — sequential greedy decode
+  spec g=N     — production speculative arm (n-gram drafter): whatever
+                 acceptance THIS workload gives (random-init weights don't
+                 loop and don't copy, so expect ~0 here; trained RAG models
+                 are the real market — prompt-lookup decoding literature)
+  oracle pN    — CONTROLLED acceptance: drafts are the base output with a
+                 fraction p of positions corrupted — maps the
+                 acceptance → speedup curve of the verify machinery itself
+  f32diag      — one base-vs-spec comparison in float32 (slow, REPS=1):
+                 distinguishes "bf16 near-tie argmax flips under a different
+                 reduction shape" (expected, same class as batch-composition
+                 effects) from a logic bug (would diverge at f32 too)
 
-Both arms are bit-exact by construction (tests/test_spec_decode.py); this
-script also re-asserts token equality on-device before timing.
-
-Timing: chained dispatches, ONE host sync (axon tunnel adds ~26 ms per
-sync; block_until_ready is a no-op on this backend).
-
-Usage:  BATCH=32 PROMPT=512 MNT=64 GAMMAS=2,4,6,8 QUANT=int8 \
-        python scripts/profile_spec_decode.py
-Prints one JSON line per arm.
+Timing: chained dispatches, one host sync. Usage:
+  BATCH=32 PROMPT=512 MNT=64 GAMMAS=2,4 REPS=4 python scripts/profile_spec_decode.py
+Set SKIP_F32=1 to drop the f32 diagnostic (it compiles a second program set).
+One JSON line per arm.
 """
 
 from __future__ import annotations
@@ -48,8 +51,14 @@ REPS = int(os.environ.get("REPS", "4"))
 BATCH = int(os.environ.get("BATCH", "32"))
 PROMPT = int(os.environ.get("PROMPT", "512"))
 MNT = int(os.environ.get("MNT", "64"))
-GAMMAS = [int(x) for x in os.environ.get("GAMMAS", "2,4,6,8").split(",")]
+GAMMAS = [int(x) for x in os.environ.get("GAMMAS", "2,4").split(",")]
+CORRUPT = [float(x) for x in os.environ.get("CORRUPT", "0,0.25,0.5").split(",")]
 TINY = os.environ.get("TINY") == "1"
+SKIP_F32 = os.environ.get("SKIP_F32") == "1"
+
+
+def emitted_lengths(toks, pad_id):
+    return (np.asarray(toks) != pad_id).sum(axis=1)
 
 
 def main() -> None:
@@ -65,48 +74,85 @@ def main() -> None:
                       jnp.int32)
     mask = jnp.ones((BATCH, PROMPT), jnp.int32)
     key = jax.random.PRNGKey(0)
-    backend = jax.default_backend()
-    print(f"[spec] backend={backend} B={BATCH} P={PROMPT} mnt={MNT} "
-          f"cfg={'tiny' if TINY else 'full'}", file=sys.stderr)
+    print(f"[spec] backend={jax.default_backend()} B={BATCH} P={PROMPT} "
+          f"mnt={MNT} cfg={'tiny' if TINY else 'full'}", file=sys.stderr)
 
-    def run(gamma):
-        return generate(params, cfg, ids, mask, key, max_new_tokens=MNT,
-                        do_sample=False, dtype=dtype, spec_gamma=gamma)
-
-    def timed(gamma):
-        out = run(gamma)              # compile + correctness handle
-        np.asarray(out)               # sync
-        t0 = time.time()
+    def timed(fn):
+        out = fn()
+        out = jax.tree.map(np.asarray, out)    # sync (block_until_ready is
+        t0 = time.time()                       #  a no-op on axon)
         for _ in range(REPS):
-            out = run(gamma)
-        np.asarray(out)               # one sync for the chain
-        ms = (time.time() - t0) / REPS * 1e3
-        return ms, np.asarray(out)
+            live = fn()
+        live = jax.tree.map(np.asarray, live)
+        return (time.time() - t0) / REPS * 1e3, live
 
-    base_ms, base_toks = timed(0)
-    # non-pad = emitted (greedy may emit pad_token_id as a real token; with
-    # random weights over a 150k vocab that's ~never, and mnt dominates)
-    emitted = (base_toks != cfg.pad_token_id).sum(axis=1)
-    print(json.dumps({"arm": "base", "ms_per_batch": round(base_ms, 1),
-                      "ms_per_token": round(base_ms / MNT, 2),
-                      "mean_emitted": float(emitted.mean())}))
+    # prefill-only floor: prefill + first token
+    pre_ms, _ = timed(lambda: generate(
+        params, cfg, ids, mask, key, max_new_tokens=1, do_sample=False,
+        dtype=dtype))
+    print(json.dumps({"arm": "prefill+1", "ms_per_batch": round(pre_ms, 1)}))
+
+    base_ms, base_toks = timed(lambda: generate(
+        params, cfg, ids, mask, key, max_new_tokens=MNT, do_sample=False,
+        dtype=dtype))
+    dec_base = base_ms - pre_ms
+    step_ms = dec_base / (MNT - 1)
+    print(json.dumps({
+        "arm": "base", "ms_per_batch": round(base_ms, 1),
+        "decode_ms": round(dec_base, 1),
+        "ms_per_token_decode": round(step_ms, 2),
+        "mean_emitted": float(emitted_lengths(base_toks, cfg.pad_token_id).mean())}))
+
+    def spec_arm(gamma, draft_source, label):
+        def run():
+            logits0, cache = prefill(params, cfg, ids, mask, MNT + gamma,
+                                     dtype=dtype)
+            return _spec_decode_loop(params, cfg, logits0, cache, mask,
+                                     MNT, gamma, dtype, None, PROMPT, ids,
+                                     draft_source=draft_source)
+        ms, (out, iters) = timed(run)
+        iters = int(iters)
+        em = float(emitted_lengths(out, cfg.pad_token_id).mean())
+        dec = ms - pre_ms
+        it_ms = dec / max(iters, 1)
+        mismatch = int((np.asarray(out) != np.asarray(base_toks)).any(axis=1).sum())
+        first_div = -1
+        neq = np.asarray(out) != np.asarray(base_toks)
+        if neq.any():
+            first_div = int(np.argmax(neq.any(axis=0)))
+        print(json.dumps({
+            "arm": label, "ms_per_batch": round(ms, 1),
+            "decode_ms": round(dec, 1),
+            "verify_iters": iters,
+            "ms_per_verify_iter": round(it_ms, 2),
+            "iter_cost_vs_step": round(it_ms / step_ms, 2),
+            "tokens_per_iter": round((em - 1) / max(iters, 1), 2),
+            "speedup_vs_base_decode": round(dec_base / max(dec, 1e-9), 2),
+            "rows_diverging_from_base": mismatch,
+            "first_divergent_column": first_div}))
 
     for g in GAMMAS:
-        ms, toks = timed(g)
-        exact = bool((toks == base_toks).all())
-        # accept telemetry: run the loop once more with its iteration counter
-        logits0, cache = prefill(params, cfg, ids, mask, MNT + g, dtype=dtype)
-        out, iters = _spec_decode_loop(params, cfg, logits0, cache, mask,
-                                       MNT, g, dtype, None, PROMPT, ids)
-        iters = int(iters)
-        em = float((np.asarray(out) != cfg.pad_token_id).sum(axis=1).mean())
-        print(json.dumps({
-            "arm": f"spec_g{g}", "ms_per_batch": round(ms, 1),
-            "ms_per_token": round(ms / MNT, 2),
-            "exact_match_vs_base": exact,
-            "verify_iters": iters,
-            "tokens_per_iter": round((em - 1) / max(iters, 1), 2),
-            "speedup_vs_base": round(base_ms / ms, 2)}))
+        spec_arm(g, None, f"spec_g{g}")            # production drafter
+        for pcorr in CORRUPT:
+            oracle = np.array(base_toks, copy=True)
+            if pcorr > 0:
+                r2 = np.random.default_rng(1)
+                flip = r2.random(oracle.shape) < pcorr
+                oracle = np.where(flip, (oracle + 7) % cfg.vocab_size, oracle)
+            spec_arm(g, jnp.asarray(oracle, jnp.int32),
+                     f"oracle_g{g}_corrupt{pcorr:g}")
+
+    if not SKIP_F32 and not TINY:
+        # f32 logic check on the REAL chip: algorithm bug would diverge here
+        # too; bf16 near-tie flips would not
+        p32 = init_decoder_params(cfg, dtype=jnp.float32)
+        b32 = np.asarray(generate(p32, cfg, ids, mask, key, max_new_tokens=8,
+                                  do_sample=False, dtype=jnp.float32))
+        logits0, cache = prefill(p32, cfg, ids, mask, 8 + 4, dtype=jnp.float32)
+        s32, _ = _spec_decode_loop(p32, cfg, logits0, cache, mask, 8, 4,
+                                   jnp.float32, None, PROMPT, ids)
+        print(json.dumps({"arm": "f32diag_mnt8",
+                          "exact_match": bool((np.asarray(s32) == b32).all())}))
 
 
 if __name__ == "__main__":
