@@ -36,8 +36,8 @@ start_server() { # $1 = mode
   else
     extra=(DECODE_MODE=fixed)
   fi
-  echo "[poisson-ab] starting $mode server on :$PORT"
-  env DOCUMENT_TEXT_FILE=data/squad_real_contexts.json \
+  echo "[poisson-ab] starting $mode server on :$PORT (EOS_BIAS=${EOS_BIAS:-0})"
+  env EOS_BIAS="${EOS_BIAS:-0}" DOCUMENT_TEXT_FILE=data/squad_real_contexts.json \
     DOCUMENT_EMBEDDINGS_FILE=data/squad_real_embeddings.npy \
     DOCUMENT_QUERIES_FILE=data/squad_real_queries.json \
     MAX_BATCH_SIZE=32 BATCH_BUCKETS=8,32 MAX_NEW_TOKENS=64 \
@@ -72,11 +72,13 @@ for mode in $MODES; do
   start_server "$mode" || exit 1
   for rps in "${todo[@]}"; do
     echo "[poisson-ab] $mode @ ${rps} rps x ${DURATION}s (budgets $SPREAD)"
+    BUDGET_ARGS=()
+    [ -n "$SPREAD" ] && BUDGET_ARGS=(--budget-spread "$SPREAD")
     python benchmarks/load_generator.py \
       --endpoint "http://localhost:$PORT" --pattern poisson --rps "$rps" \
       --duration "$DURATION" --seed 42 --timeout 30 \
       --queries-file data/squad_real_queries.json --query-sample random \
-      --budget-spread "$SPREAD" \
+      "${BUDGET_ARGS[@]}" \
       --output "$OUT_DIR/$mode/rps${rps}.json" | tail -3
   done
   curl -s "http://localhost:$PORT/stats" > "$OUT_DIR/$mode/stats_final.json" || true
@@ -101,7 +103,8 @@ for mode in ("fixed", "continuous"):
             "p50_s": round(lat.get("p50", float("nan")), 3),
             "p99_s": round(lat.get("p99", float("nan")), 3),
         }
-summary = {"workload": "poisson arrivals, max_new_tokens ~ U[8,64] seed 42",
+summary = {"workload": os.environ.get(
+               "AB_WORKLOAD", "poisson arrivals, max_new_tokens ~ U[8,64] seed 42"),
            "rungs": rows}
 with open(os.path.join(out, "summary.json"), "w") as f:
     json.dump(summary, f, indent=1)
