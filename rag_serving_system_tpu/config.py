@@ -99,8 +99,10 @@ class Settings:
     # speculative decode draft length (greedy only; 0 = off): per decode
     # iteration, SPEC_DECODE history-lookup drafts are verified in one
     # multi-position forward — 1..gamma+1 tokens per decoder weight stream,
-    # bit-exact with the sequential greedy loop (models/qwen2.py
-    # _spec_decode_loop). Ignored when DO_SAMPLE is on.
+    # greedy-output-preserving in exact arithmetic (models/qwen2.py
+    # _spec_decode_loop; f32-pinned — see PERFORMANCE.md "Speculative
+    # decode" for bf16 trajectory stability). Ignored when DO_SAMPLE is on;
+    # only pays off with trained weights (acceptance = context copying).
     spec_gamma: int = field(default_factory=lambda: int(_env("SPEC_DECODE", "0")))
     # EOS logit bias (workload-shaping knob, default 0 = off): positive
     # values under sampling give geometric-ish completion lengths — the

@@ -342,8 +342,9 @@ class RagEngine:
         # sampling would need rejection resampling to stay distribution-true
         self.spec_gamma = settings.spec_gamma if not settings.do_sample else 0
         if self.spec_gamma:
-            logger.info("speculative decode on: gamma=%d (greedy verify, "
-                        "bit-exact)", self.spec_gamma)
+            logger.info("speculative decode on: gamma=%d (greedy verify; "
+                        "trained-checkpoint feature - PERFORMANCE.md "
+                        "'Speculative decode')", self.spec_gamma)
         if self.packed:
             p_auto, mean_len = self._auto_packed_p(documents)
             self.packed_p = int(os.environ.get("PACKED_P", "0")) or p_auto

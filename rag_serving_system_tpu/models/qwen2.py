@@ -506,10 +506,16 @@ def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
     matching prefix plus the bonus token — 1..gamma+1 tokens per weight
     stream instead of exactly 1.
 
-    GREEDY ONLY and bit-exact by construction: position j's greedy argmax is
-    computed from the true model logits whenever drafts 0..j-1 matched, so
-    every emitted token equals what the sequential loop would emit
-    (tests/test_spec_decode.py pins exact equality against `_decode_loop`).
+    GREEDY ONLY and output-preserving in exact arithmetic: position j's
+    greedy argmax comes from the true model logits whenever drafts 0..j-1
+    matched, so every emitted token equals what the sequential loop would
+    emit under the same numerics (tests/test_spec_decode.py pins exact
+    equality against `_decode_loop` at f32). At bf16 the chunk-shaped
+    forward's reduction order differs from the 1-token step's, so a model
+    whose top-2 logit gap sits below that noise (random init: median
+    0.23 logit-σ) can flip near-tie argmaxes — trained checkpoints sit
+    orders of magnitude above it (measurements: PERFORMANCE.md
+    "Speculative decode"; diagnosis: scripts/diag_spec_tpu.py).
     Sampling would need rejection resampling to preserve the distribution —
     out of scope; the engine routes here only when do_sample is off.
 
@@ -1094,7 +1100,7 @@ def generate(
 
     `spec_gamma` > 0 switches the decode loop to greedy speculative decoding
     (`_spec_decode_loop`: gamma history-lookup drafts verified per forward,
-    bit-exact with the sequential greedy loop). Requires do_sample=False —
+    output-preserving in exact arithmetic). Requires do_sample=False —
     sampling ignores the knob and keeps the 1-token loop.
 
     Fixed output shape (the XLA way): past-EOS positions are pad_token_id and

@@ -1,10 +1,14 @@
 """Speculative (multi-token) greedy decode — exactness and drafting tests.
 
-The claim under test is strong: `generate(..., spec_gamma=g, do_sample=False)`
-must be BIT-IDENTICAL to the sequential greedy loop for every gamma, batch
-shape, padding pattern, EOS placement, per-row budget, and the prefix-KV
-serving path — acceptance only changes how many weight streams the output
-costs, never the output (models/qwen2.py::_spec_decode_loop).
+The claim under test: `generate(..., spec_gamma=g, do_sample=False)` is
+BIT-IDENTICAL to the sequential greedy loop — at f32, where arithmetic is
+effectively exact for these sizes — for every gamma, batch shape, padding
+pattern, EOS placement, per-row budget, and the prefix-KV serving path;
+acceptance only changes how many weight streams the output costs, never the
+output (models/qwen2.py::_spec_decode_loop). bf16 trajectory stability is a
+model-confidence property, measured and documented in PERFORMANCE.md
+"Speculative decode" (random-init logit gaps sit below chunk-vs-step
+reduction noise; trained checkpoints far above).
 
 The reference has no decode loop of its own (HF pipeline,
 rag_service/core/batch_processor.py:104-105); this feature is how the TPU
