@@ -550,7 +550,10 @@ def _spec_decode_loop(params, cfg, logits0, cache, attention_mask,
     if mnt == 1:
         return out0[:, :mnt], jnp.int32(0)
 
-    # history = [prompt tokens (left-padded) | generated...], + spill column
+    # history = [prompt tokens (left-padded) | generated... | spill column].
+    # The spill column is PAST the last legitimate write slot (p_in + mnt - 1
+    # holds a full row's final token), so a masked dump can never collide
+    # with a real token's scatter write in the same call.
     p_in = input_ids.shape[1]
     hlen = p_in + mnt + 1
     hist0 = jnp.concatenate(
