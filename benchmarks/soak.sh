@@ -72,9 +72,12 @@ except Exception:
     print("-1,-1,-1,-1")
 PYEOF
 )
-  STATS_ROW=$(curl -sf "$STATS/stats" | python - <<'PYEOF' 2>/dev/null || echo "-1,-1,-1,-1"
+  STATS_ROW=$(curl -sf "$STATS/stats" 2>/dev/null | python - <<'PYEOF'
 import json, sys
-s = json.load(sys.stdin)
+try:
+    s = json.load(sys.stdin)
+except Exception:
+    print("-1,-1,-1,-1"); raise SystemExit
 px = s.get("prefix_cache", {}) or {}
 qc = s.get("query_cache", {}) or {}
 print(",".join(str(x) for x in [
@@ -82,6 +85,7 @@ print(",".join(str(x) for x in [
     qc.get("entries", -1), s.get("queue_size", -1)]))
 PYEOF
 )
+  [ -n "$STATS_ROW" ] || STATS_ROW="-1,-1,-1,-1"
   T=$(( $(date +%s) - T0 ))
   LINE="$W,$T,$RATE,$ROW,$(rss_mb),$STATS_ROW,$(mini_bytes)"
   echo "$LINE" >> "$CSV"
